@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Headline benchmark: Sponza-class scene, wavefront, 1024x1024.
+
+Matches BASELINE.json's primary metric (>=200 Mrays/s on one v5e chip,
+wavefront, 1024x1024). The real sponza.glb is not distributed with the
+reference (.gitignore:4), so a procedural atrium at the same triangle
+scale (~260K) stands in; see sycl_ray_tracer_tpu/utils/procgen.py.
+
+Prints ONE json line:
+  {"metric": ..., "value": N, "unit": "Mrays/s", "vs_baseline": N/200}
+
+Methodology mirrors the reference's benchmark.py: run 0 discarded
+(XLA compile, the analog of SYCL JIT warm-up), remaining runs averaged.
+"""
+
+import json
+import os
+import sys
+import time
+
+SPP = int(os.environ.get("BENCH_SPP", 64))
+DEPTH = int(os.environ.get("BENCH_DEPTH", 10))
+RES = int(os.environ.get("BENCH_RES", 1024))
+RUNS = int(os.environ.get("BENCH_RUNS", 3))
+SCALE = int(os.environ.get("BENCH_SCENE_SCALE", 2))
+BASELINE_MRAYS = 200.0  # BASELINE.json target for this hardware
+
+
+def main():
+    import numpy as np
+    import jax
+
+    from sycl_ray_tracer_tpu.models.camera import make_camera
+    from sycl_ray_tracer_tpu.models.scene import build_device_scene
+    from sycl_ray_tracer_tpu.models.wavefront import render_wavefront
+    from sycl_ray_tracer_tpu.utils.gltf import load_glb
+    from sycl_ray_tracer_tpu.utils.procgen import sponza_like_glb
+
+    t0 = time.perf_counter()
+    host = load_glb(sponza_like_glb(scale=SCALE))
+    scene = build_device_scene(host)
+    jax.block_until_ready(scene.node_lo)
+    cam = make_camera(RES, RES, host.camera_position,
+                      host.camera_direction, host.camera_focal_length)
+    print(f"# scene: {host.num_triangles} tris, build "
+          f"{time.perf_counter() - t0:.1f}s, device {jax.devices()[0]}",
+          file=sys.stderr)
+
+    def run(seed):
+        img, rays = render_wavefront(
+            scene, cam, width=RES, height=RES, spp=SPP, max_depth=DEPTH,
+            seed=seed)
+        jax.block_until_ready((img, rays))
+        return img, int(np.asarray(rays).astype(np.int64).sum())
+
+    # warm-up (compile) — discarded like the reference's run 0
+    run(0)
+
+    rates = []
+    for i in range(RUNS):
+        t = time.perf_counter()
+        _, total = run(i)
+        dt = time.perf_counter() - t
+        rates.append(total / dt / 1e6)
+        print(f"# run {i}: {total} rays in {dt:.3f}s = {rates[-1]:.1f} "
+              f"Mrays/s", file=sys.stderr)
+
+    value = float(np.mean(rates))
+    print(json.dumps({
+        "metric": f"Mrays/s sponza_proc({host.num_triangles}tris) "
+                  f"wavefront {RES}x{RES} spp{SPP} d{DEPTH}",
+        "value": round(value, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(value / BASELINE_MRAYS, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,104 @@
+"""Megakernel renderer: one fused jitted program for the whole frame.
+
+Parity target: render_megakernel.cpp:20-63, 75-187. The reference runs
+an 8x8-workgroup SYCL kernel with per-thread sample and bounce loops;
+the TPU-native shape is one traced program over all pixels at once —
+XLA fuses camera gen, traversal step, and shading into large vector
+ops, and the sample loop is a lax.fori_loop carrying the accumulator.
+
+Paths that exhaust max_depth contribute black, exactly like the
+reference (render_pixel returns float3(0) at loop end).
+
+Ray counting matches the reference (render_megakernel.cpp:31-33): the
+counter increments at the top of every bounce iteration a path is still
+alive for; totals are per-bounce int32 tallies summed on the host.
+
+`accumulate_megakernel` is the unjitted linear-space core shared with
+the multi-chip path (parallel/mesh.py): it takes explicit pixel/lane
+arrays so a device mesh can shard pixels and samples independently and
+psum the linear accumulator before gamma encoding.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sycl_ray_tracer_tpu.models import trace as _trace
+from sycl_ray_tracer_tpu.models.camera import Camera, generate_rays
+from sycl_ray_tracer_tpu.models.trace import PathState
+from sycl_ray_tracer_tpu.ops import rng as _rng
+from sycl_ray_tracer_tpu.ops.vec import linear_to_gamma, splat
+
+
+def _sample_one(scene, cam: Camera, px, py, lane, sample_idx, seed,
+                max_depth: int, rays):
+    """Render one sample for every listed pixel; returns (color V3,
+    updated per-bounce ray tallies)."""
+    key = _rng.make_key(
+        _rng.make_key(jnp.asarray(seed, jnp.uint32),
+                      jnp.asarray(sample_idx, jnp.uint32)), lane)
+    o, d = generate_rays(cam, px, py, key)
+    r = px.shape[0]
+    state = PathState(
+        o=o, d=d,
+        att=splat((1.0, 1.0, 1.0), (r,)),
+        rad=splat((0.0, 0.0, 0.0), (r,)),
+        result=splat((0.0, 0.0, 0.0), (r,)),
+        done=jnp.zeros((r,), bool),
+    )
+
+    def cond(carry):
+        i, st, _ = carry
+        return (i < max_depth) & jnp.any(~st.done)
+
+    def body(carry):
+        i, st, rays = carry
+        rays = rays.at[i].add(jnp.sum((~st.done).astype(jnp.int32)))
+        st = _trace.trace_step(scene, st, key, i + 2)  # counters 0,1 = jitter
+        return (i + 1, st, rays)
+
+    _, state, rays = jax.lax.while_loop(cond, body, (jnp.int32(0), state, rays))
+    return state.result, rays
+
+
+def accumulate_megakernel(scene, cam: Camera, px, py, lane, *,
+                          spp: int, max_depth: int, seed,
+                          sample_offset=0):
+    """Linear-space accumulation over `spp` samples for the given pixel
+    lanes. Returns (accum [R, 3] float32 — the SUM over samples, not the
+    mean — and per-bounce ray counts [max_depth] int32)."""
+    r = px.shape[0]
+
+    def sample_body(s, carry):
+        (ax, ay, az), rays = carry
+        color, rays = _sample_one(scene, cam, px, py, lane,
+                                  s + sample_offset, seed, max_depth, rays)
+        return (ax + color.x, ay + color.y, az + color.z), rays
+
+    zero = jnp.zeros((r,), jnp.float32)
+    (ax, ay, az), rays = jax.lax.fori_loop(
+        0, spp, sample_body,
+        ((zero, zero, zero), jnp.zeros((max_depth,), jnp.int32)))
+    return jnp.stack([ax, ay, az], axis=-1), rays
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "spp",
+                                             "max_depth"))
+def render_megakernel(scene, cam: Camera, *, width: int, height: int,
+                      spp: int, max_depth: int,
+                      seed: int = 0) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (image [H, W, 3] float32 gamma-encoded,
+    per-bounce ray counts [max_depth] int32 — sum on host for total)."""
+    n = width * height
+    lane = jnp.arange(n, dtype=jnp.uint32)  # linear ray id, camera.hpp:120-122
+    px = (lane % jnp.uint32(width)).astype(jnp.int32)
+    py = (lane // jnp.uint32(width)).astype(jnp.int32)
+
+    accum, rays = accumulate_megakernel(
+        scene, cam, px, py, lane, spp=spp, max_depth=max_depth, seed=seed)
+    img = linear_to_gamma(accum * (1.0 / spp))
+    return img.reshape(height, width, 3), rays

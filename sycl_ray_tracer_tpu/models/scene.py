@@ -1,0 +1,106 @@
+"""Device-resident flat scene: one pytree of arrays.
+
+The kernel-visible "world". Replaces the reference's RenderContext +
+pointer-laden GeometryData (render_context.hpp:12-24, scene.hpp:17-24):
+instead of per-instance buffers fetched by instance id in-kernel
+(trace_ray.hpp:29-30), everything is baked into triangle-order SoA
+arrays at load, already Morton-sorted into BVH leaf order so traversal
+hits contiguous rows.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from sycl_ray_tracer_tpu.ops import lbvh
+from sycl_ray_tracer_tpu.utils.gltf import HostScene, load_glb
+
+
+@struct.dataclass
+class DeviceScene:
+    # BVH (implicit heap; ops/lbvh.py)
+    node_lo: jnp.ndarray   # [2L, 3]
+    node_hi: jnp.ndarray   # [2L, 3]
+    # Triangles in sorted leaf order, padded to L*K rows.
+    tri_v0: jnp.ndarray    # [LK, 3]
+    tri_e1: jnp.ndarray    # [LK, 3]  (v1 - v0)
+    tri_e2: jnp.ndarray    # [LK, 3]  (v2 - v0)
+    tri_n: jnp.ndarray     # [LK, 3, 3] unit shading normals (world)
+    tri_uv: jnp.ndarray    # [LK, 3, 2]
+    tri_mat: jnp.ndarray   # [LK] int32
+    # Material table (SoA tagged union; utils/gltf.py classification)
+    mat_type: jnp.ndarray      # [M] int32 (0 diffuse, 1 metallic, 2 dielectric)
+    mat_albedo: jnp.ndarray    # [M, 3]
+    mat_tex: jnp.ndarray       # [M] int32, -1 = solid
+    mat_rough: jnp.ndarray     # [M]
+    mat_ior: jnp.ndarray       # [M]
+    mat_emissive: jnp.ndarray  # [M, 3]
+    # Texture atlas (nearest/repeat sampling; image_manager.hpp parity)
+    textures: jnp.ndarray      # [T, 512, 512, 4] uint8
+    sky_color: jnp.ndarray     # [3]
+    # Static config
+    leaf_size: int = struct.field(pytree_node=False, default=4)
+    num_triangles: int = struct.field(pytree_node=False, default=0)
+
+    @property
+    def num_rows(self) -> int:
+        return self.tri_v0.shape[0]
+
+
+def build_device_scene(host: HostScene,
+                       leaf_size: int = lbvh.DEFAULT_LEAF_SIZE,
+                       dtype=jnp.float32) -> DeviceScene:
+    """Upload + BVH-build a HostScene. The build itself is jax code and
+    runs on the accelerator (the TPU-native replacement for Embree's
+    rtcCommitScene, scene.cpp:107)."""
+    tri_v = jnp.asarray(host.tri_v, dtype)
+    bvh, sorted_v, valid = lbvh.build(tri_v, leaf_size)
+    order = np.asarray(bvh.order)
+    safe = np.maximum(order, 0)
+    validm = (order >= 0)
+
+    tri_n = host.tri_n[safe]
+    # Unit-normalize vertex normals (reference normalizes the
+    # interpolated normal, trace_ray.hpp:52-55; unit inputs keep the
+    # interpolation equivalent up to anisotropic-scale corner cases).
+    ln = np.linalg.norm(tri_n, axis=-1, keepdims=True)
+    tri_n = (tri_n / np.maximum(ln, 1e-20)).astype(np.float32)
+    tri_n[~validm] = 0.0
+    tri_uv = host.tri_uv[safe].astype(np.float32)
+    tri_uv[~validm] = 0.0
+    tri_mat = host.tri_mat[safe].astype(np.int32)
+    tri_mat[~validm] = 0
+
+    v0 = sorted_v[:, 0, :]
+    e1 = sorted_v[:, 1, :] - sorted_v[:, 0, :]
+    e2 = sorted_v[:, 2, :] - sorted_v[:, 0, :]
+
+    m = host.materials
+    return DeviceScene(
+        node_lo=bvh.node_lo, node_hi=bvh.node_hi,
+        tri_v0=v0.astype(dtype), tri_e1=e1.astype(dtype),
+        tri_e2=e2.astype(dtype),
+        tri_n=jnp.asarray(tri_n), tri_uv=jnp.asarray(tri_uv),
+        tri_mat=jnp.asarray(tri_mat),
+        mat_type=jnp.asarray(m.mtype.astype(np.int32)),
+        mat_albedo=jnp.asarray(m.albedo),
+        mat_tex=jnp.asarray(m.tex_id),
+        mat_rough=jnp.asarray(m.roughness),
+        mat_ior=jnp.asarray(m.ior),
+        mat_emissive=jnp.asarray(m.emissive),
+        textures=jnp.asarray(host.textures),
+        sky_color=jnp.asarray(host.sky_color),
+        leaf_size=leaf_size,
+        num_triangles=host.num_triangles,
+    )
+
+
+def load_scene(path: str, global_scale=(1.0, 1.0, 1.0),
+               leaf_size: int = lbvh.DEFAULT_LEAF_SIZE) -> tuple:
+    """Convenience: .glb path -> (DeviceScene, HostScene)."""
+    host = load_glb(path, global_scale)
+    return build_device_scene(host, leaf_size), host

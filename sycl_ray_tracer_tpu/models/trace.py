@@ -1,0 +1,104 @@
+"""One path-vertex step shared by both renderers.
+
+Parity target: trace_ray.hpp:11-82, including its exact termination
+algebra (these quirks are load-bearing for RMSE parity with the oracle):
+
+- miss       -> contribute attenuation * (sky_color + radiance)
+- hit        -> radiance += emitted(); scatter
+- absorbed   -> contribute attenuation * radiance
+- scattered  -> origin += t * dir (unnormalized dir!), dir = scatter dir,
+                attenuation *= scatter attenuation, path continues
+
+Returns masked updates; callers (megakernel fori/while loop, wavefront
+scan) own the loop structure.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from sycl_ray_tracer_tpu.models import materials as mats
+from sycl_ray_tracer_tpu.ops.intersect import Hit, intersect_brute
+from sycl_ray_tracer_tpu.ops.traverse import traverse
+from sycl_ray_tracer_tpu.ops.vec import V3, normalize, where
+
+# Below this triangle count the BVH costs more than it saves; test every
+# triangle directly (the reference always pays Embree's TLAS walk).
+BRUTE_FORCE_MAX_TRIS = 64
+
+
+class PathState(NamedTuple):
+    o: V3            # ray origin
+    d: V3            # ray direction (unnormalized, reference convention)
+    att: V3          # accumulated attenuation
+    rad: V3          # accumulated radiance
+    result: V3       # final color once done
+    done: jnp.ndarray  # bool
+
+
+def intersect_scene(scene, o: V3, d: V3,
+                    active: jnp.ndarray | None = None) -> Hit:
+    if scene.num_triangles <= BRUTE_FORCE_MAX_TRIS:
+        tri_v = jnp.stack(
+            [scene.tri_v0,
+             scene.tri_v0 + scene.tri_e1,
+             scene.tri_v0 + scene.tri_e2], axis=1)
+        return intersect_brute(o, d, tri_v)
+    return traverse(scene.node_lo, scene.node_hi,
+                    scene.tri_v0, scene.tri_e1, scene.tri_e2,
+                    o, d, scene.leaf_size, active_in=active)
+
+
+def trace_step(scene, state: PathState, key: jnp.ndarray,
+               bounce_counter) -> PathState:
+    """Advance every non-done lane by one path vertex."""
+    o, d, att, rad = state.o, state.d, state.att, state.rad
+    live = ~state.done
+
+    hit = intersect_scene(scene, o, d, active=live)
+    miss = hit.tri < 0
+
+    sky = scene.sky_color
+    sky_v = V3(sky[0], sky[1], sky[2])
+    res_miss = att * (sky_v + rad)  # trace_ray.hpp:25-27
+
+    # ---- shading data for hit lanes (garbage on miss lanes, masked) --
+    safe_tri = jnp.maximum(hit.tri, 0)
+    n_rows = jnp.take(scene.tri_n, safe_tri, axis=0)    # [R, 3, 3]
+    uv_rows = jnp.take(scene.tri_uv, safe_tri, axis=0)  # [R, 3, 2]
+    w = 1.0 - hit.u - hit.v
+    normal = normalize(V3(
+        w * n_rows[:, 0, 0] + hit.u * n_rows[:, 1, 0] + hit.v * n_rows[:, 2, 0],
+        w * n_rows[:, 0, 1] + hit.u * n_rows[:, 1, 1] + hit.v * n_rows[:, 2, 1],
+        w * n_rows[:, 0, 2] + hit.u * n_rows[:, 1, 2] + hit.v * n_rows[:, 2, 2],
+    ), eps=1e-20)
+    uv_u = w * uv_rows[:, 0, 0] + hit.u * uv_rows[:, 1, 0] + hit.v * uv_rows[:, 2, 0]
+    uv_v = w * uv_rows[:, 0, 1] + hit.u * uv_rows[:, 1, 1] + hit.v * uv_rows[:, 2, 1]
+
+    mat = mats.gather_materials(scene, hit.tri)
+    rad_hit = rad + mat.emissive  # trace_ray.hpp:64
+
+    d_unit = normalize(d, eps=1e-20)
+    cont, new_dir, s_att = mats.scatter(scene, mat, d_unit, normal,
+                                        uv_u, uv_v, key, bounce_counter)
+
+    res_absorb = att * rad_hit  # trace_ray.hpp:77-79
+
+    hit_m = live & ~miss
+    scat_m = hit_m & cont
+    term_miss = live & miss
+    term_abs = hit_m & ~cont
+
+    new_o = where(scat_m, o + d * hit.t, o)
+    new_d = where(scat_m, new_dir, d)
+    new_att = where(scat_m, att * s_att, att)
+    new_rad = where(scat_m, rad_hit, rad)
+
+    result = where(term_miss, res_miss,
+                   where(term_abs, res_absorb, state.result))
+    done = state.done | term_miss | term_abs
+
+    return PathState(o=new_o, d=new_d, att=new_att, rad=new_rad,
+                     result=result, done=done)

@@ -1,0 +1,175 @@
+"""Wavefront renderer: bounce-synchronous compacted ray queues.
+
+Parity target: render_wavefront.cpp (stages: generate_camera_rays :79,
+shoot_rays :139, merge_samples :319, convert_image_to_srgb :360).
+
+TPU-native redesign of each mechanism:
+
+- Double-buffered SoA queues + parity swap (render_wavefront.hpp:47-70)
+  -> a single functional queue threaded through lax.while_loop; XLA's
+  buffer donation provides the double-buffering.
+- Work-group local-memory compaction with one global atomic per group
+  (render_wavefront.cpp:162-311, the reference's signature trick)
+  -> exclusive-cumsum stream compaction + scatter-with-drop. A scan is
+  the TPU's native "cooperative" primitive; there are no device atomics
+  to emulate.
+- Terminated rays writing pixels in-kernel (:275-281)
+  -> masked scatter-add into the sample accumulator keyed by ray id
+  (ids survive compaction, exactly like the reference's RayData.id).
+- The per-bounce host readback of the queue length (:144, a device->
+  host sync every bounce!) -> the count stays device-resident in the
+  while_loop carry; the host is never consulted mid-frame.
+- Rays still alive after max_depth contribute black, like the
+  reference (their queue entries are simply dropped).
+
+`accumulate_wavefront` is the unjitted linear-space core shared with
+the multi-chip path (parallel/mesh.py). Queue entries carry the LOCAL
+lane id (accumulator index); RNG keys are precomputed per local lane
+from the GLOBAL ray id, so a sharded render stays decorrelated across
+devices while scatter stays shard-local.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sycl_ray_tracer_tpu.models import materials as mats
+from sycl_ray_tracer_tpu.models import trace as _trace
+from sycl_ray_tracer_tpu.models.camera import Camera, generate_rays
+from sycl_ray_tracer_tpu.ops import rng as _rng
+from sycl_ray_tracer_tpu.ops.vec import V3, linear_to_gamma, normalize, where
+
+
+def _compact(alive: jnp.ndarray, arrays, capacity: int):
+    """Scan-based stream compaction: returns (new_arrays, count).
+    Dead lanes are routed to index `capacity` and dropped."""
+    pos = jnp.cumsum(alive.astype(jnp.int32)) - 1
+    dst = jnp.where(alive, pos, capacity)
+    out = [jnp.zeros_like(a).at[dst].set(a, mode="drop") for a in arrays]
+    return out, jnp.sum(alive.astype(jnp.int32))
+
+
+def _bounce(scene, key_lane, carry, bounce_idx, capacity):
+    """One wavefront iteration over the live queue prefix."""
+    (q_ox, q_oy, q_oz, q_dx, q_dy, q_dz,
+     q_ar, q_ag, q_ab, q_rr, q_rg, q_rb, q_id, count, acc, rays) = carry
+
+    lane_idx = jnp.arange(capacity, dtype=jnp.int32)
+    in_q = lane_idx < count
+    o = V3(q_ox, q_oy, q_oz)
+    d = V3(q_dx, q_dy, q_dz)
+    att = V3(q_ar, q_ag, q_ab)
+    rad = V3(q_rr, q_rg, q_rb)
+    key = jnp.take(key_lane, q_id, axis=0)
+
+    hit = _trace.intersect_scene(scene, o, d, active=in_q)
+    miss = hit.tri < 0
+
+    sky = scene.sky_color
+    res_miss = att * (V3(sky[0], sky[1], sky[2]) + rad)
+
+    safe_tri = jnp.maximum(hit.tri, 0)
+    n_rows = jnp.take(scene.tri_n, safe_tri, axis=0)
+    uv_rows = jnp.take(scene.tri_uv, safe_tri, axis=0)
+    w = 1.0 - hit.u - hit.v
+    normal = normalize(V3(
+        w * n_rows[:, 0, 0] + hit.u * n_rows[:, 1, 0] + hit.v * n_rows[:, 2, 0],
+        w * n_rows[:, 0, 1] + hit.u * n_rows[:, 1, 1] + hit.v * n_rows[:, 2, 1],
+        w * n_rows[:, 0, 2] + hit.u * n_rows[:, 1, 2] + hit.v * n_rows[:, 2, 2],
+    ), eps=1e-20)
+    uv_u = (w * uv_rows[:, 0, 0] + hit.u * uv_rows[:, 1, 0]
+            + hit.v * uv_rows[:, 2, 0])
+    uv_v = (w * uv_rows[:, 0, 1] + hit.u * uv_rows[:, 1, 1]
+            + hit.v * uv_rows[:, 2, 1])
+
+    mat = mats.gather_materials(scene, hit.tri)
+    rad_hit = rad + mat.emissive
+    d_unit = normalize(d, eps=1e-20)
+    cont, new_dir, s_att = mats.scatter(scene, mat, d_unit, normal,
+                                        uv_u, uv_v, key, bounce_idx + 2)
+    res_absorb = att * rad_hit
+
+    terminated = in_q & (miss | ~cont)
+    contrib = where(in_q & miss, res_miss, res_absorb)
+    pix = jnp.where(terminated, q_id, capacity)
+    acc = acc.at[pix, 0].add(contrib.x, mode="drop")
+    acc = acc.at[pix, 1].add(contrib.y, mode="drop")
+    acc = acc.at[pix, 2].add(contrib.z, mode="drop")
+
+    alive = in_q & ~miss & cont
+    new_o = o + d * hit.t
+    new_att = att * s_att
+    q2, new_count = _compact(alive, [
+        new_o.x, new_o.y, new_o.z,
+        new_dir.x, new_dir.y, new_dir.z,
+        new_att.x, new_att.y, new_att.z,
+        rad_hit.x, rad_hit.y, rad_hit.z,
+        q_id,
+    ], capacity)
+    rays = rays.at[bounce_idx].add(count)
+    return tuple(q2) + (new_count, acc, rays)
+
+
+def accumulate_wavefront(scene, cam: Camera, px, py, lane, *,
+                         spp: int, max_depth: int, seed,
+                         sample_offset=0):
+    """Linear-space accumulation (sum over samples) for explicit pixel
+    lanes. `lane` is the GLOBAL ray id (uint32) used for RNG keying;
+    queue ids index the local accumulator. Returns (accum [R, 3],
+    per-bounce ray counts [max_depth] int32)."""
+    n = px.shape[0]
+    local_id = jnp.arange(n, dtype=jnp.int32)
+
+    def render_sample(s, carry):
+        combined, rays = carry
+        sample_seed = _rng.make_key(
+            jnp.asarray(seed, jnp.uint32),
+            jnp.asarray(s + sample_offset, jnp.uint32))
+        key_lane = _rng.make_key(sample_seed, lane)
+
+        o, d = generate_rays(cam, px, py, key_lane)
+        ones = jnp.ones((n,), jnp.float32)
+        zeros = jnp.zeros((n,), jnp.float32)
+        acc = jnp.zeros((n, 3), jnp.float32)
+        state = (o.x, o.y, o.z, d.x, d.y, d.z,
+                 ones, ones, ones, zeros, zeros, zeros,
+                 local_id, jnp.int32(n), acc, rays)
+
+        def cond(c):
+            bounce, st = c
+            return (bounce < max_depth) & (st[13] > 0)
+
+        def body(c):
+            bounce, st = c
+            st = _bounce(scene, key_lane, st, bounce, n)
+            return bounce + 1, st
+
+        _, state = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
+        acc, rays = state[14], state[15]
+        return combined + acc, rays
+
+    return jax.lax.fori_loop(
+        0, spp, render_sample,
+        (jnp.zeros((n, 3), jnp.float32), jnp.zeros((max_depth,), jnp.int32)))
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "spp",
+                                             "max_depth"))
+def render_wavefront(scene, cam: Camera, *, width: int, height: int,
+                     spp: int, max_depth: int,
+                     seed: int = 0) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (image [H, W, 3] float32 gamma-encoded,
+    per-bounce ray counts [max_depth] int32)."""
+    n = width * height
+    lane = jnp.arange(n, dtype=jnp.uint32)
+    px = (lane % jnp.uint32(width)).astype(jnp.int32)
+    py = (lane // jnp.uint32(width)).astype(jnp.int32)
+
+    combined, rays = accumulate_wavefront(
+        scene, cam, px, py, lane, spp=spp, max_depth=max_depth, seed=seed)
+    img = linear_to_gamma(combined * (1.0 / spp))
+    return img.reshape(height, width, 3), rays

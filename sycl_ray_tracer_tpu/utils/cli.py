@@ -1,0 +1,142 @@
+"""CLI driver with the reference's flags and stdout contract.
+
+Parity target: main.cpp:8-77 plus the three benchmark-scraped lines
+(render_megakernel.cpp:181-183 / render_wavefront.cpp:425-427):
+
+    Time measured: {:.6f} seconds
+    Total rays: {}
+    Rays/sec: {:.2f}M
+
+Flags match main.cpp:11-28 (-d/--max-depth default 10, -s/--sample-count
+default 32, -m, -w with wavefront as the default renderer, positional
+scene path defaulting to ./assets/sponza.glb). Deviation (documented):
+--width/--height lift the reference's hardcoded 1920x1080 (main.cpp:36)
+because BASELINE.json benchmarks at 1024x1024; defaults stay 1920x1080.
+Additions: --seed, --output, --devices (multi-chip sample sharding),
+procedural scene names (sponza_proc / minecraft_proc / triangle / cube /
+dielectric) for when no .glb is at hand.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="sycl_ray_tracer_tpu",
+        description="TPU-native Monte-Carlo path tracer")
+    p.add_argument("scene_path", nargs="?", default="./assets/sponza.glb",
+                   help="path to .glb, or a procedural name: sponza_proc, "
+                        "minecraft_proc, triangle, cube, dielectric")
+    p.add_argument("-d", "--max-depth", type=int, default=10)
+    p.add_argument("-s", "--sample-count", type=int, default=32)
+    p.add_argument("-m", "--megakernel", action="store_true",
+                   help="use megakernel renderer")
+    p.add_argument("-w", "--wavefront", action="store_true",
+                   help="use wavefront renderer (default)")
+    p.add_argument("--width", type=int, default=1920)
+    p.add_argument("--height", type=int, default=1080)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("-o", "--output", default="out.png")
+    p.add_argument("--devices", type=int, default=1,
+                   help="shard samples over this many devices")
+    p.add_argument("--warmup", action="store_true",
+                   help="run one untimed warmup frame first (XLA compile)")
+    return p
+
+
+def resolve_scene_bytes(scene_path: str):
+    from sycl_ray_tracer_tpu.utils import fixtures, procgen
+
+    named = {
+        "triangle": fixtures.triangle_scene_glb,
+        "cube": fixtures.cube_scene_glb,
+        "dielectric": fixtures.dielectric_scene_glb,
+        "sponza_proc": procgen.sponza_like_glb,
+        "minecraft_proc": procgen.minecraft_like_glb,
+    }
+    if scene_path in named:
+        return named[scene_path]()
+    if not os.path.exists(scene_path):
+        raise SystemExit(
+            f"error: scene not found: {scene_path} "
+            f"(procedural names: {', '.join(sorted(named))})")
+    with open(scene_path, "rb") as f:
+        return f.read()
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    # Both flags set -> megakernel, matching main.cpp:58 (the -m branch
+    # is checked first there).
+    use_megakernel = args.megakernel
+
+    # SRT_PLATFORM=cpu forces the CPU backend even where a site plugin
+    # pins jax_platforms through config (which outranks JAX_PLATFORMS).
+    plat = os.environ.get("SRT_PLATFORM")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
+
+    print(f"Loading scene: {args.scene_path}")
+    import numpy as np
+
+    from sycl_ray_tracer_tpu.models.camera import make_camera
+    from sycl_ray_tracer_tpu.models.megakernel import render_megakernel
+    from sycl_ray_tracer_tpu.models.scene import build_device_scene
+    from sycl_ray_tracer_tpu.models.wavefront import render_wavefront
+    from sycl_ray_tracer_tpu.utils.gltf import load_glb
+    from sycl_ray_tracer_tpu.utils.image_io import write_png
+
+    host = load_glb(resolve_scene_bytes(args.scene_path))
+    print(f"Triangles: {host.num_triangles}")
+    scene = build_device_scene(host)
+    cam = make_camera(args.width, args.height, host.camera_position,
+                      host.camera_direction, host.camera_focal_length)
+
+    kw = dict(width=args.width, height=args.height,
+              spp=args.sample_count, max_depth=args.max_depth,
+              seed=args.seed)
+
+    if args.devices > 1:
+        from sycl_ray_tracer_tpu.parallel.mesh import make_mesh, render_sharded
+        mesh = make_mesh(dp=args.devices)
+        renderer = "megakernel" if use_megakernel else "wavefront"
+
+        def run():
+            return render_sharded(scene, cam, mesh=mesh,
+                                  renderer=renderer, **kw)
+    elif use_megakernel:
+        def run():
+            return render_megakernel(scene, cam, **kw)
+    else:
+        def run():
+            return render_wavefront(scene, cam, **kw)
+
+    import jax
+
+    if args.warmup:
+        img, rays = run()
+        jax.block_until_ready((img, rays))
+
+    begin = time.perf_counter()
+    img, rays = run()
+    jax.block_until_ready((img, rays))
+    secs = time.perf_counter() - begin
+
+    total_rays = int(np.asarray(rays).astype(np.int64).sum())
+    print(f"Time measured: {secs:.6f} seconds")
+    print(f"Total rays: {total_rays}")
+    print(f"Rays/sec: {total_rays / secs / 1e6:.2f}M")
+
+    print("Writing image to disk")
+    write_png(args.output, np.asarray(img))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
