@@ -35,7 +35,7 @@ from sycl_ray_tracer_tpu.ops.vec import linear_to_gamma, splat
 
 
 def _sample_one(scene, cam: Camera, px, py, lane, sample_idx, seed,
-                max_depth: int, rays):
+                max_depth: int, rays, active=None):
     """Render one sample for every listed pixel; returns (color V3,
     updated per-bounce ray tallies)."""
     key = _rng.make_key(
@@ -43,12 +43,13 @@ def _sample_one(scene, cam: Camera, px, py, lane, sample_idx, seed,
                       jnp.asarray(sample_idx, jnp.uint32)), lane)
     o, d = generate_rays(cam, px, py, key)
     r = px.shape[0]
+    done0 = jnp.zeros((r,), bool) if active is None else ~active
     state = PathState(
         o=o, d=d,
         att=splat((1.0, 1.0, 1.0), (r,)),
         rad=splat((0.0, 0.0, 0.0), (r,)),
         result=splat((0.0, 0.0, 0.0), (r,)),
-        done=jnp.zeros((r,), bool),
+        done=done0,
     )
 
     def cond(carry):
@@ -65,40 +66,81 @@ def _sample_one(scene, cam: Camera, px, py, lane, sample_idx, seed,
     return state.result, rays
 
 
+# Pixel-chunk size (chunks run sequentially via lax.map past this).
+# Large chunks win: per-bounce-iteration cost is dominated by fixed
+# kernel-scheduling overhead, so lanes are nearly free until
+# multi-million sizes.
+CHUNK = 1 << 20
+
+
 def accumulate_megakernel(scene, cam: Camera, px, py, lane, *,
                           spp: int, max_depth: int, seed,
                           sample_offset=0):
     """Linear-space accumulation over `spp` samples for the given pixel
     lanes. Returns (accum [R, 3] float32 — the SUM over samples, not the
     mean — and per-bounce ray counts [max_depth] int32)."""
-    r = px.shape[0]
+    n = px.shape[0]
+    c = min(CHUNK, n)
+    pad = (-n) % c
+    n_chunks = (n + pad) // c
 
-    def sample_body(s, carry):
-        (ax, ay, az), rays = carry
-        color, rays = _sample_one(scene, cam, px, py, lane,
-                                  s + sample_offset, seed, max_depth, rays)
-        return (ax + color.x, ay + color.y, az + color.z), rays
+    def padded(a, fill=0):
+        if pad == 0:
+            return a.reshape(n_chunks, c)
+        return jnp.concatenate(
+            [a, jnp.full((pad,), fill, a.dtype)]).reshape(n_chunks, c)
 
-    zero = jnp.zeros((r,), jnp.float32)
-    (ax, ay, az), rays = jax.lax.fori_loop(
-        0, spp, sample_body,
-        ((zero, zero, zero), jnp.zeros((max_depth,), jnp.int32)))
-    return jnp.stack([ax, ay, az], axis=-1), rays
+    px_c, py_c, lane_c = padded(px), padded(py), padded(lane)
+    valid_c = padded(jnp.ones((n,), bool), False)
+
+    def chunk_fn(args):
+        cpx, cpy, clane, cvalid = args
+
+        def sample_body(s, carry):
+            (ax, ay, az), rays = carry
+            color, rays = _sample_one(
+                scene, cam, cpx, cpy, clane, s + sample_offset, seed,
+                max_depth, rays, active=cvalid)
+            return (ax + color.x, ay + color.y, az + color.z), rays
+
+        zero = jnp.zeros((c,), jnp.float32)
+        (ax, ay, az), rays = jax.lax.fori_loop(
+            0, spp, sample_body,
+            ((zero, zero, zero), jnp.zeros((max_depth,), jnp.int32)))
+        return jnp.stack([ax, ay, az], axis=-1), rays
+
+    accs, rayss = jax.lax.map(chunk_fn, (px_c, py_c, lane_c, valid_c))
+    return accs.reshape(n_chunks * c, 3)[:n], rayss.sum(axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height", "spp",
+@functools.partial(jax.jit, static_argnames=("width", "height",
                                              "max_depth"))
-def render_megakernel(scene, cam: Camera, *, width: int, height: int,
-                      spp: int, max_depth: int,
-                      seed: int = 0) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (image [H, W, 3] float32 gamma-encoded,
-    per-bounce ray counts [max_depth] int32 — sum on host for total)."""
+def _one_sample_frame(scene, cam: Camera, seed, sample_offset, *,
+                      width: int, height: int, max_depth: int):
     n = width * height
     lane = jnp.arange(n, dtype=jnp.uint32)  # linear ray id, camera.hpp:120-122
     px = (lane % jnp.uint32(width)).astype(jnp.int32)
     py = (lane // jnp.uint32(width)).astype(jnp.int32)
+    return accumulate_megakernel(scene, cam, px, py, lane, spp=1,
+                                 max_depth=max_depth, seed=seed,
+                                 sample_offset=sample_offset)
 
-    accum, rays = accumulate_megakernel(
-        scene, cam, px, py, lane, spp=spp, max_depth=max_depth, seed=seed)
+
+def render_megakernel(scene, cam: Camera, *, width: int, height: int,
+                      spp: int, max_depth: int,
+                      seed: int = 0) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (image [H, W, 3] float32 gamma-encoded,
+    per-bounce ray counts [max_depth] int32 — sum on host for total).
+
+    Host-driven sample loop (see render_wavefront's docstring) — one
+    compiled device program per sample, accumulator stays on device.
+    """
+    accum = None
+    rays = None
+    for s in range(spp):
+        a, r = _one_sample_frame(scene, cam, seed, s, width=width,
+                                 height=height, max_depth=max_depth)
+        accum = a if accum is None else accum + a
+        rays = r if rays is None else rays + r
     img = linear_to_gamma(accum * (1.0 / spp))
     return img.reshape(height, width, 3), rays

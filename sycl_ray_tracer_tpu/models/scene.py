@@ -6,6 +6,10 @@ instead of per-instance buffers fetched by instance id in-kernel
 (trace_ray.hpp:29-30), everything is baked into triangle-order SoA
 arrays at load, already Morton-sorted into BVH leaf order so traversal
 hits contiguous rows.
+
+Acceleration structure: WBVH8 (ops/wbvh.py) — an 8-wide implicit heap
+whose rows pack all 8 children AABBs (one gather per traversal step).
+The binary LBVH (ops/lbvh.py) remains available for cross-validation.
 """
 
 from __future__ import annotations
@@ -16,19 +20,18 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from sycl_ray_tracer_tpu.ops import lbvh
+from sycl_ray_tracer_tpu.ops import wbvh
 from sycl_ray_tracer_tpu.utils.gltf import HostScene, load_glb
+
+DEFAULT_LEAF_SIZE = 8
 
 
 @struct.dataclass
 class DeviceScene:
-    # BVH (implicit heap; ops/lbvh.py)
-    node_lo: jnp.ndarray   # [2L, 3]
-    node_hi: jnp.ndarray   # [2L, 3]
-    # Triangles in sorted leaf order, padded to L*K rows.
-    tri_v0: jnp.ndarray    # [LK, 3]
-    tri_e1: jnp.ndarray    # [LK, 3]  (v1 - v0)
-    tri_e2: jnp.ndarray    # [LK, 3]  (v2 - v0)
+    # WBVH8 (ops/wbvh.py)
+    bvh_children: jnp.ndarray  # [NI, 48] packed children AABBs
+    bvh_leaves: jnp.ndarray    # [L, K*9] packed leaf triangles (v0,e1,e2)
+    # Shading data in sorted leaf order, padded to L*K rows.
     tri_n: jnp.ndarray     # [LK, 3, 3] unit shading normals (world)
     tri_uv: jnp.ndarray    # [LK, 3, 2]
     tri_mat: jnp.ndarray   # [LK] int32
@@ -43,25 +46,29 @@ class DeviceScene:
     textures: jnp.ndarray      # [T, 512, 512, 4] uint8
     sky_color: jnp.ndarray     # [3]
     # Static config
-    leaf_size: int = struct.field(pytree_node=False, default=4)
+    leaf_size: int = struct.field(pytree_node=False, default=DEFAULT_LEAF_SIZE)
+    bvh_depth: int = struct.field(pytree_node=False, default=1)
     num_triangles: int = struct.field(pytree_node=False, default=0)
 
     @property
     def num_rows(self) -> int:
-        return self.tri_v0.shape[0]
+        return self.tri_n.shape[0]
 
 
 def build_device_scene(host: HostScene,
-                       leaf_size: int = lbvh.DEFAULT_LEAF_SIZE,
+                       leaf_size: int = DEFAULT_LEAF_SIZE,
                        dtype=jnp.float32) -> DeviceScene:
     """Upload + BVH-build a HostScene. The build itself is jax code and
     runs on the accelerator (the TPU-native replacement for Embree's
     rtcCommitScene, scene.cpp:107)."""
+    import jax
+
     tri_v = jnp.asarray(host.tri_v, dtype)
-    bvh, sorted_v, valid = lbvh.build(tri_v, leaf_size)
+    bvh, sorted_v, valid = jax.jit(
+        lambda t: wbvh.build(t, leaf_size))(tri_v)
     order = np.asarray(bvh.order)
     safe = np.maximum(order, 0)
-    validm = (order >= 0)
+    validm = order >= 0
 
     tri_n = host.tri_n[safe]
     # Unit-normalize vertex normals (reference normalizes the
@@ -75,15 +82,10 @@ def build_device_scene(host: HostScene,
     tri_mat = host.tri_mat[safe].astype(np.int32)
     tri_mat[~validm] = 0
 
-    v0 = sorted_v[:, 0, :]
-    e1 = sorted_v[:, 1, :] - sorted_v[:, 0, :]
-    e2 = sorted_v[:, 2, :] - sorted_v[:, 0, :]
-
     m = host.materials
     return DeviceScene(
-        node_lo=bvh.node_lo, node_hi=bvh.node_hi,
-        tri_v0=v0.astype(dtype), tri_e1=e1.astype(dtype),
-        tri_e2=e2.astype(dtype),
+        bvh_children=bvh.children_boxes,
+        bvh_leaves=bvh.leaf_tris,
         tri_n=jnp.asarray(tri_n), tri_uv=jnp.asarray(tri_uv),
         tri_mat=jnp.asarray(tri_mat),
         mat_type=jnp.asarray(m.mtype.astype(np.int32)),
@@ -95,12 +97,13 @@ def build_device_scene(host: HostScene,
         textures=jnp.asarray(host.textures),
         sky_color=jnp.asarray(host.sky_color),
         leaf_size=leaf_size,
+        bvh_depth=bvh.depth,
         num_triangles=host.num_triangles,
     )
 
 
 def load_scene(path: str, global_scale=(1.0, 1.0, 1.0),
-               leaf_size: int = lbvh.DEFAULT_LEAF_SIZE) -> tuple:
+               leaf_size: int = DEFAULT_LEAF_SIZE) -> tuple:
     """Convenience: .glb path -> (DeviceScene, HostScene)."""
     host = load_glb(path, global_scale)
     return build_device_scene(host, leaf_size), host

@@ -20,13 +20,9 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from sycl_ray_tracer_tpu.models import materials as mats
-from sycl_ray_tracer_tpu.ops.intersect import Hit, intersect_brute
-from sycl_ray_tracer_tpu.ops.traverse import traverse
+from sycl_ray_tracer_tpu.ops.intersect import Hit
+from sycl_ray_tracer_tpu.ops.wbvh import traverse8
 from sycl_ray_tracer_tpu.ops.vec import V3, normalize, where
-
-# Below this triangle count the BVH costs more than it saves; test every
-# triangle directly (the reference always pays Embree's TLAS walk).
-BRUTE_FORCE_MAX_TRIS = 64
 
 
 class PathState(NamedTuple):
@@ -40,15 +36,9 @@ class PathState(NamedTuple):
 
 def intersect_scene(scene, o: V3, d: V3,
                     active: jnp.ndarray | None = None) -> Hit:
-    if scene.num_triangles <= BRUTE_FORCE_MAX_TRIS:
-        tri_v = jnp.stack(
-            [scene.tri_v0,
-             scene.tri_v0 + scene.tri_e1,
-             scene.tri_v0 + scene.tri_e2], axis=1)
-        return intersect_brute(o, d, tri_v)
-    return traverse(scene.node_lo, scene.node_hi,
-                    scene.tri_v0, scene.tri_e1, scene.tri_e2,
-                    o, d, scene.leaf_size, active_in=active)
+    return traverse8(scene.bvh_children, scene.bvh_leaves,
+                     scene.bvh_depth, scene.leaf_size,
+                     o, d, active_in=active)
 
 
 def trace_step(scene, state: PathState, key: jnp.ndarray,

@@ -114,6 +114,13 @@ def _bounce(scene, key_lane, carry, bounce_idx, capacity):
     return tuple(q2) + (new_count, acc, rays)
 
 
+# Queue capacity per chunk (chunks processed sequentially via lax.map
+# when a frame exceeds it). Large chunks win: per-traversal-iteration
+# cost is dominated by fixed kernel-scheduling overhead, so lanes are
+# nearly free until multi-million sizes.
+CHUNK = 1 << 20
+
+
 def accumulate_wavefront(scene, cam: Camera, px, py, lane, *,
                          spp: int, max_depth: int, seed,
                          sample_offset=0):
@@ -122,54 +129,95 @@ def accumulate_wavefront(scene, cam: Camera, px, py, lane, *,
     queue ids index the local accumulator. Returns (accum [R, 3],
     per-bounce ray counts [max_depth] int32)."""
     n = px.shape[0]
-    local_id = jnp.arange(n, dtype=jnp.int32)
+    c = min(CHUNK, n)
+    pad = (-n) % c
+    n_chunks = (n + pad) // c
+
+    def padded(a, fill=0):
+        if pad == 0:
+            return a.reshape(n_chunks, c)
+        return jnp.concatenate(
+            [a, jnp.full((pad,), fill, a.dtype)]).reshape(n_chunks, c)
+
+    px_c = padded(px)
+    py_c = padded(py)
+    lane_c = padded(lane)
+    valid_c = padded(jnp.ones((n,), bool), False)
+    local_id = jnp.arange(c, dtype=jnp.int32)
 
     def render_sample(s, carry):
-        combined, rays = carry
+        combined, rays0 = carry
         sample_seed = _rng.make_key(
             jnp.asarray(seed, jnp.uint32),
             jnp.asarray(s + sample_offset, jnp.uint32))
-        key_lane = _rng.make_key(sample_seed, lane)
 
-        o, d = generate_rays(cam, px, py, key_lane)
-        ones = jnp.ones((n,), jnp.float32)
-        zeros = jnp.zeros((n,), jnp.float32)
-        acc = jnp.zeros((n, 3), jnp.float32)
-        state = (o.x, o.y, o.z, d.x, d.y, d.z,
-                 ones, ones, ones, zeros, zeros, zeros,
-                 local_id, jnp.int32(n), acc, rays)
+        def chunk_fn(args):
+            cpx, cpy, clane, cvalid = args
+            key_lane = _rng.make_key(sample_seed, clane)
+            o, d = generate_rays(cam, cpx, cpy, key_lane)
+            ones = jnp.ones((c,), jnp.float32)
+            zeros = jnp.zeros((c,), jnp.float32)
+            acc = jnp.zeros((c, 3), jnp.float32)
+            count0 = jnp.sum(cvalid.astype(jnp.int32))
+            # dead-pad lanes live at the queue tail; compaction ordering
+            # keeps valid rays in the prefix because padding is a suffix
+            state = (o.x, o.y, o.z, d.x, d.y, d.z,
+                     ones, ones, ones, zeros, zeros, zeros,
+                     local_id, count0, acc,
+                     jnp.zeros((max_depth,), jnp.int32))
 
-        def cond(c):
-            bounce, st = c
-            return (bounce < max_depth) & (st[13] > 0)
+            def cond(cr):
+                bounce, st = cr
+                return (bounce < max_depth) & (st[13] > 0)
 
-        def body(c):
-            bounce, st = c
-            st = _bounce(scene, key_lane, st, bounce, n)
-            return bounce + 1, st
+            def body(cr):
+                bounce, st = cr
+                st = _bounce(scene, key_lane, st, bounce, c)
+                return bounce + 1, st
 
-        _, state = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
-        acc, rays = state[14], state[15]
-        return combined + acc, rays
+            _, state = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
+            return state[14], state[15]
+
+        accs, rayss = jax.lax.map(
+            chunk_fn, (px_c, py_c, lane_c, valid_c))
+        acc_flat = accs.reshape(n_chunks * c, 3)[:n]
+        return combined + acc_flat, rays0 + rayss.sum(axis=0)
 
     return jax.lax.fori_loop(
         0, spp, render_sample,
         (jnp.zeros((n, 3), jnp.float32), jnp.zeros((max_depth,), jnp.int32)))
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height", "spp",
+@functools.partial(jax.jit, static_argnames=("width", "height",
                                              "max_depth"))
-def render_wavefront(scene, cam: Camera, *, width: int, height: int,
-                     spp: int, max_depth: int,
-                     seed: int = 0) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (image [H, W, 3] float32 gamma-encoded,
-    per-bounce ray counts [max_depth] int32)."""
+def _one_sample(scene, cam: Camera, seed, sample_offset, *, width: int,
+                height: int, max_depth: int):
     n = width * height
     lane = jnp.arange(n, dtype=jnp.uint32)
     px = (lane % jnp.uint32(width)).astype(jnp.int32)
     py = (lane // jnp.uint32(width)).astype(jnp.int32)
+    return accumulate_wavefront(scene, cam, px, py, lane, spp=1,
+                                max_depth=max_depth, seed=seed,
+                                sample_offset=sample_offset)
 
-    combined, rays = accumulate_wavefront(
-        scene, cam, px, py, lane, spp=spp, max_depth=max_depth, seed=seed)
+
+def render_wavefront(scene, cam: Camera, *, width: int, height: int,
+                     spp: int, max_depth: int,
+                     seed: int = 0) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (image [H, W, 3] float32 gamma-encoded,
+    per-bounce ray counts [max_depth] int32).
+
+    The sample loop is driven from the host — one jitted device program
+    per sample (compiled once) — keeping each program's runtime inside
+    this runtime's per-execution watchdog; the accumulator stays on
+    device between calls, so there is no host traffic.
+    """
+    combined = None
+    rays = None
+    for s in range(spp):
+        acc, r = _one_sample(scene, cam, seed, s, width=width,
+                             height=height, max_depth=max_depth)
+        combined = acc if combined is None else combined + acc
+        rays = r if rays is None else rays + r
     img = linear_to_gamma(combined * (1.0 / spp))
     return img.reshape(height, width, 3), rays

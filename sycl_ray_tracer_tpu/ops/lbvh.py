@@ -128,6 +128,12 @@ def fit_nodes(sorted_tri_v: jnp.ndarray, valid: jnp.ndarray,
     # Heap layout: level d occupies nodes [2^d, 2^(d+1)); index 0 unused.
     node_lo = jnp.concatenate([jnp.full((1, 3), big)] + levels_lo)
     node_hi = jnp.concatenate([jnp.full((1, 3), -big)] + levels_hi)
+    # Canonicalize empty boxes to the point-at-infinity (BIG, BIG): an
+    # inverted box does NOT fail a branchless slab test (its +/-inf
+    # slabs cancel into "no constraint"), a far point-box always does.
+    empty = node_hi[:, :1] < node_lo[:, :1]
+    node_lo = jnp.where(empty, big, node_lo)
+    node_hi = jnp.where(empty, big, node_hi)
     return node_lo, node_hi
 
 
@@ -174,7 +180,7 @@ def validate(bvh: Bvh, sorted_tri_v: np.ndarray, valid: np.ndarray) -> None:
     # Every internal node contains its children.
     for i in range(1, l_leaves):
         for c in (2 * i, 2 * i + 1):
-            if (node_hi[c] < node_lo[c]).any():
-                continue  # empty child
+            if (node_lo[c] >= 3.0e37).all():
+                continue  # empty child (point-at-infinity box)
             assert (node_lo[i] <= node_lo[c] + 1e-4).all()
             assert (node_hi[i] >= node_hi[c] - 1e-4).all()

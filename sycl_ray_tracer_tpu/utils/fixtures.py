@@ -117,10 +117,13 @@ def cube_scene_glb() -> bytes:
     ctr = v.mean(0)
     nrm = v - ctr
     nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    # Raised 1mm off the floor: exactly-coplanar triangles make the
+    # closest-hit winner an FP tie, which different (all correct)
+    # traversal orders resolve differently.
     b.add_node(mesh=b.add_mesh(v, nrm.astype(np.float32),
                                np.zeros((8, 2), np.float32),
                                faces.reshape(-1), cube_m),
-               translation=[0, 0.0, 0])
+               translation=[0, 0.001, 0])
 
     p, n, uv, idx = _quad((0, 2.5, 0), 1.0, axis=1)
     n = -n
