@@ -28,9 +28,9 @@ DEFAULT_LEAF_SIZE = 8
 
 @struct.dataclass
 class DeviceScene:
-    # WBVH8 (ops/wbvh.py)
-    bvh_children: jnp.ndarray  # [NI, 48] packed children AABBs
-    bvh_leaves: jnp.ndarray    # [L, K*9] packed leaf triangles (v0,e1,e2)
+    # WBVH8 (ops/wbvh.py): unified node table — internal rows pack the
+    # 8 children AABBs, leaf rows pack K triangles, component-major.
+    bvh_nodes: jnp.ndarray  # [NI + L, max(48, 9K)]
     # Shading data in sorted leaf order, padded to L*K rows.
     tri_n: jnp.ndarray     # [LK, 3, 3] unit shading normals (world)
     tri_uv: jnp.ndarray    # [LK, 3, 2]
@@ -45,9 +45,12 @@ class DeviceScene:
     # Texture atlas (nearest/repeat sampling; image_manager.hpp parity)
     textures: jnp.ndarray      # [T, 512, 512, 4] uint8
     sky_color: jnp.ndarray     # [3]
+    scene_lo: jnp.ndarray      # [3] world bounds (for ray-sort Morton keys)
+    scene_hi: jnp.ndarray      # [3]
     # Static config
     leaf_size: int = struct.field(pytree_node=False, default=DEFAULT_LEAF_SIZE)
     bvh_depth: int = struct.field(pytree_node=False, default=1)
+    bvh_ni: int = struct.field(pytree_node=False, default=1)
     num_triangles: int = struct.field(pytree_node=False, default=0)
 
     @property
@@ -64,6 +67,7 @@ def build_device_scene(host: HostScene,
     import jax
 
     tri_v = jnp.asarray(host.tri_v, dtype)
+    depth, ni, _, _ = wbvh.plan(host.num_triangles, leaf_size)
     bvh, sorted_v, valid = jax.jit(
         lambda t: wbvh.build(t, leaf_size))(tri_v)
     order = np.asarray(bvh.order)
@@ -84,8 +88,7 @@ def build_device_scene(host: HostScene,
 
     m = host.materials
     return DeviceScene(
-        bvh_children=bvh.children_boxes,
-        bvh_leaves=bvh.leaf_tris,
+        bvh_nodes=bvh.nodes,
         tri_n=jnp.asarray(tri_n), tri_uv=jnp.asarray(tri_uv),
         tri_mat=jnp.asarray(tri_mat),
         mat_type=jnp.asarray(m.mtype.astype(np.int32)),
@@ -96,8 +99,15 @@ def build_device_scene(host: HostScene,
         mat_emissive=jnp.asarray(m.emissive),
         textures=jnp.asarray(host.textures),
         sky_color=jnp.asarray(host.sky_color),
+        scene_lo=jnp.asarray(
+            host.tri_v.reshape(-1, 3).min(0) if host.num_triangles
+            else np.zeros(3, np.float32)),
+        scene_hi=jnp.asarray(
+            host.tri_v.reshape(-1, 3).max(0) if host.num_triangles
+            else np.ones(3, np.float32)),
         leaf_size=leaf_size,
-        bvh_depth=bvh.depth,
+        bvh_depth=depth,
+        bvh_ni=ni,
         num_triangles=host.num_triangles,
     )
 

@@ -19,10 +19,18 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
+import os
+
+import jax
+
 from sycl_ray_tracer_tpu.models import materials as mats
 from sycl_ray_tracer_tpu.ops.intersect import Hit
 from sycl_ray_tracer_tpu.ops.wbvh import traverse8
 from sycl_ray_tracer_tpu.ops.vec import V3, normalize, where
+
+# The Pallas packet kernel needs the node table resident in VMEM
+# (~16 MB/core); beyond this we fall back to the XLA traversal.
+VMEM_TABLE_LIMIT_BYTES = 12 * 1024 * 1024
 
 
 class PathState(NamedTuple):
@@ -34,9 +42,22 @@ class PathState(NamedTuple):
     done: jnp.ndarray  # bool
 
 
+def _use_packet_kernel(scene) -> bool:
+    if os.environ.get("SRT_FORCE_XLA_TRAVERSE"):
+        return False
+    if jax.default_backend() != "tpu":
+        return False  # Mosaic kernel; CPU tests use the XLA twin
+    return scene.bvh_nodes.size * 4 <= VMEM_TABLE_LIMIT_BYTES
+
+
 def intersect_scene(scene, o: V3, d: V3,
                     active: jnp.ndarray | None = None) -> Hit:
-    return traverse8(scene.bvh_children, scene.bvh_leaves,
+    if _use_packet_kernel(scene):
+        from sycl_ray_tracer_tpu.ops.traverse_pallas import traverse_packets
+        return traverse_packets(scene.bvh_nodes, scene.bvh_ni,
+                                scene.bvh_depth, scene.leaf_size,
+                                o, d, active=active)
+    return traverse8(scene.bvh_nodes, scene.bvh_ni,
                      scene.bvh_depth, scene.leaf_size,
                      o, d, active_in=active)
 

@@ -36,6 +36,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from sycl_ray_tracer_tpu.models import materials as mats
 from sycl_ray_tracer_tpu.models import trace as _trace
@@ -44,13 +45,40 @@ from sycl_ray_tracer_tpu.ops import rng as _rng
 from sycl_ray_tracer_tpu.ops.vec import V3, linear_to_gamma, normalize, where
 
 
-def _compact(alive: jnp.ndarray, arrays, capacity: int):
-    """Scan-based stream compaction: returns (new_arrays, count).
-    Dead lanes are routed to index `capacity` and dropped."""
-    pos = jnp.cumsum(alive.astype(jnp.int32)) - 1
-    dst = jnp.where(alive, pos, capacity)
-    out = [jnp.zeros_like(a).at[dst].set(a, mode="drop") for a in arrays]
+def _compact(alive: jnp.ndarray, arrays, capacity: int,
+             sort_key: jnp.ndarray | None = None):
+    """Stream compaction: returns (new_arrays, count).
+
+    Without a key: exclusive-cumsum + scatter-with-drop (order
+    preserving). With a key: one ascending argsort where dead lanes get
+    the max key — this both compacts AND coherence-sorts the survivors,
+    which is what keeps the packet-traversal kernel's ray unions tight
+    on diffuse bounces (the TPU analog of the reference's
+    sort-by-material idea it never implemented, PLAN.md).
+    """
+    if sort_key is None:
+        pos = jnp.cumsum(alive.astype(jnp.int32)) - 1
+        dst = jnp.where(alive, pos, capacity)
+        out = [jnp.zeros_like(a).at[dst].set(a, mode="drop")
+               for a in arrays]
+        return out, jnp.sum(alive.astype(jnp.int32))
+    key = jnp.where(alive, sort_key, jnp.uint32(0xFFFFFFFF))
+    perm = jnp.argsort(key)
+    out = [jnp.take(a, perm, axis=0) for a in arrays]
     return out, jnp.sum(alive.astype(jnp.int32))
+
+
+def _coherence_key(scene, o: V3, d: V3) -> jnp.ndarray:
+    """(octant << 27) | morton27(origin): groups rays by direction
+    octant, then by position locality."""
+    from sycl_ray_tracer_tpu.ops.lbvh import morton30
+
+    oct_ = ((d.x < 0).astype(jnp.uint32) << 2
+            | (d.y < 0).astype(jnp.uint32) << 1
+            | (d.z < 0).astype(jnp.uint32))
+    p = jnp.stack([o.x, o.y, o.z], axis=-1)
+    m = morton30(p, scene.scene_lo, scene.scene_hi) >> jnp.uint32(3)
+    return (oct_ << jnp.uint32(27)) | m
 
 
 def _bounce(scene, key_lane, carry, bounce_idx, capacity):
@@ -109,8 +137,13 @@ def _bounce(scene, key_lane, carry, bounce_idx, capacity):
         new_att.x, new_att.y, new_att.z,
         rad_hit.x, rad_hit.y, rad_hit.z,
         q_id,
-    ], capacity)
-    rays = rays.at[bounce_idx].add(count)
+    ], capacity, sort_key=_coherence_key(scene, new_o, new_dir))
+    # Clamp the tally slot: the host-driven path passes a length-1
+    # tally (it counts rays host-side); the traced path passes
+    # [max_depth].
+    slot = jnp.minimum(jnp.asarray(bounce_idx, jnp.int32),
+                       rays.shape[0] - 1)
+    rays = rays.at[slot].add(count)
     return tuple(q2) + (new_count, acc, rays)
 
 
@@ -188,17 +221,39 @@ def accumulate_wavefront(scene, cam: Camera, px, py, lane, *,
         (jnp.zeros((n, 3), jnp.float32), jnp.zeros((max_depth,), jnp.int32)))
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height",
-                                             "max_depth"))
-def _one_sample(scene, cam: Camera, seed, sample_offset, *, width: int,
-                height: int, max_depth: int):
+@functools.partial(jax.jit, static_argnames=("width", "height"))
+def _gen_queue(scene, cam: Camera, seed, sample_offset, *, width: int,
+               height: int):
+    """generate_camera_rays stage (render_wavefront.cpp:79-127)."""
     n = width * height
     lane = jnp.arange(n, dtype=jnp.uint32)
     px = (lane % jnp.uint32(width)).astype(jnp.int32)
     py = (lane // jnp.uint32(width)).astype(jnp.int32)
-    return accumulate_wavefront(scene, cam, px, py, lane, spp=1,
-                                max_depth=max_depth, seed=seed,
-                                sample_offset=sample_offset)
+    sample_seed = _rng.make_key(jnp.asarray(seed, jnp.uint32),
+                                jnp.asarray(sample_offset, jnp.uint32))
+    key_lane = _rng.make_key(sample_seed, lane)
+    o, d = generate_rays(cam, px, py, key_lane)
+    ones = jnp.ones((n,), jnp.float32)
+    zeros = jnp.zeros((n,), jnp.float32)
+    acc = jnp.zeros((n, 3), jnp.float32)
+    state = (o.x, o.y, o.z, d.x, d.y, d.z,
+             ones, ones, ones, zeros, zeros, zeros,
+             jnp.arange(n, dtype=jnp.int32), jnp.int32(n), acc,
+             jnp.zeros((1,), jnp.int32))
+    return key_lane, state
+
+
+@functools.partial(jax.jit, static_argnames=("capacity",),
+                   donate_argnums=(1,))
+def _bounce_step(scene, state, key_lane, bounce_idx, *, capacity: int):
+    """shoot_rays stage (render_wavefront.cpp:139-314) as ONE device
+    program per bounce. The queue length returns to the host between
+    bounces — the same bounce-synchronous structure as the reference's
+    shared-USM readback (render_wavefront.cpp:144), except the whole
+    queue state stays on device."""
+    st = state[:15] + (jnp.zeros((1,), jnp.int32),)
+    out = _bounce(scene, key_lane, st, bounce_idx, capacity)
+    return out
 
 
 def render_wavefront(scene, cam: Camera, *, width: int, height: int,
@@ -207,17 +262,27 @@ def render_wavefront(scene, cam: Camera, *, width: int, height: int,
     """Returns (image [H, W, 3] float32 gamma-encoded,
     per-bounce ray counts [max_depth] int32).
 
-    The sample loop is driven from the host — one jitted device program
-    per sample (compiled once) — keeping each program's runtime inside
-    this runtime's per-execution watchdog; the accumulator stays on
-    device between calls, so there is no host traffic.
+    Sample AND bounce loops are host-driven: one compiled device
+    program per bounce (bounce-synchronous like the reference), with
+    the queue resident on device. Host sees one scalar (the live-ray
+    count) per bounce, mirroring render_wavefront.cpp:144.
     """
+    n = width * height
     combined = None
-    rays = None
+    rays = np.zeros((max_depth,), np.int64)
     for s in range(spp):
-        acc, r = _one_sample(scene, cam, seed, s, width=width,
-                             height=height, max_depth=max_depth)
+        key_lane, state = _gen_queue(scene, cam, seed, s,
+                                     width=width, height=height)
+        count = n
+        for bounce in range(max_depth):
+            if count == 0:
+                break
+            rays[bounce] += count
+            state = _bounce_step(scene, state, key_lane, bounce,
+                                 capacity=n)
+            count = int(state[13])
+        acc = state[14]
         combined = acc if combined is None else combined + acc
-        rays = r if rays is None else rays + r
     img = linear_to_gamma(combined * (1.0 / spp))
-    return img.reshape(height, width, 3), rays
+    return (img.reshape(height, width, 3),
+            jnp.asarray(np.minimum(rays, 2**31 - 1).astype(np.int32)))

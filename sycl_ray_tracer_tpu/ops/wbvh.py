@@ -2,34 +2,32 @@
 
 Replaces Embree's BVH (the reference's rtcIntersect1 hot path,
 trace_ray.hpp:22) with a layout chosen from measured TPU behavior:
-a gather op costs ~the same for 1-wide and 48-wide rows (op-latency
-bound, not bandwidth bound), so the design packs ALL the data a
-traversal step needs into ONE row:
 
-- Internal node i packs its 8 children's AABBs into one 48-float row
-  (children_boxes[i] = 8 x [lo.xyz, hi.xyz]). Child ids are computed
-  (8i+1..8i+8), never loaded.
-- Leaf j packs its K triangles into one K*9-float row
-  (v0, e1, e2 per triangle).
+1. Gather ops dominate; their cost is mostly per-byte with a large
+   fixed overhead per op. So each traversal step does exactly ONE
+   row gather from a UNIFIED node table that stores, per row, either
+   an internal node's 8 children AABBs or a leaf's K triangles —
+   whatever the lane's current node needs.
+2. Vector math must run on full-width flat vectors: a [R, 8] array
+   puts 8 in the 128-lane dimension and wastes 15/16 of the VPU, and
+   transposing gathered rows costs more than the gather itself. Rows
+   are therefore stored COMPONENT-MAJOR ([lox*8 | loy*8 | ... ] /
+   [v0x*K | v0y*K | ...]) so that one free reshape [R, C, 8] and a
+   middle-axis slice yields contiguous [R*8] flat vectors; ray data is
+   pre-broadcast to [R*8] once per traversal (loop-invariant).
 
 Topology is an implicit complete 8-ary heap over Morton-sorted
 triangle leaves (level-order ids; internal ids [0, NI), leaves
-[NI, NI+L)). Because the heap is built by collapsing 3 levels of the
-binary Morton split, a node's 8 children correspond to its octant
-split — child index bits ARE octant bits. Traversal exploits that for
-approximate front-to-back ordering: visiting children in the order
-(child_index XOR ray_octant) walks the octants the ray enters first
-(the classic octree DDA ordering).
+[NI, NI+L)). Children of node i are 8i+1..8i+8 — computed, never
+loaded. Because the heap collapses 3 binary Morton splits per level,
+child index bits ARE octant bits; traversal visits children in
+(child_index XOR ray_octant) order — the classic octree front-to-back
+ordering. Per-ray traversal state is a few scalars plus a [depth]
+byte trail (pending-sibling bitmasks); no stack arrays.
 
-Traversal state per ray is tiny — no stack arrays:
-- cur: current node id,
-- trail: [D] bytes, trail[d] = pending-sibling bitmask at depth d+1
-  (bit p corresponds to child (p XOR oct) — stored pre-permuted so
-  "lowest set bit" = "nearest unvisited sibling"),
-- best hit (t, tri, u, v).
-
-Each iteration does exactly two gathers (children row, leaf row) plus
-fused vector math; everything else is integer index arithmetic.
+Empty padding subtrees get the point-at-infinity box (BIG, BIG): an
+inverted (+inf, -inf) box does NOT fail a branchless slab test (its
+slabs cancel into "no constraint"), a far point-box always does.
 """
 
 from __future__ import annotations
@@ -41,43 +39,28 @@ import jax.numpy as jnp
 import numpy as np
 
 from sycl_ray_tracer_tpu.ops import lbvh
-from sycl_ray_tracer_tpu.ops.intersect import BIG, TNEAR, Hit, moller_trumbore
+from sycl_ray_tracer_tpu.ops.intersect import BIG, TNEAR, Hit, _DET_EPS
 from sycl_ray_tracer_tpu.ops.vec import V3
 
 _INF = np.float32(3.0e38)
 
 
 class Wbvh8(NamedTuple):
-    """children_boxes: [NI, 48] — 8 x (lo.xyz, hi.xyz) per internal node.
-    leaf_tris: [L, K*9] — K x (v0, e1, e2) per leaf, degenerate padding.
+    """nodes: [NI + L, W] unified rows (W = max(48, 9K)).
+    Internal row i (i < NI): [lox*8|loy*8|loz*8|hix*8|hiy*8|hiz*8], pad.
+    Leaf row NI+j: [v0x*K|v0y*K|v0z*K|e1x*K|...|e2z*K], pad.
     order: [L*K] int32 — sorted slot -> original triangle id (-1 pad).
     """
 
-    children_boxes: jnp.ndarray
-    leaf_tris: jnp.ndarray
+    nodes: jnp.ndarray
     order: jnp.ndarray
-
-    @property
-    def num_internal(self) -> int:
-        return self.children_boxes.shape[0]
+    num_internal: int
+    depth: int
+    leaf_size: int
 
     @property
     def num_leaves(self) -> int:
-        return self.leaf_tris.shape[0]
-
-    @property
-    def leaf_size(self) -> int:
-        return self.leaf_tris.shape[1] // 9
-
-    @property
-    def depth(self) -> int:
-        # L = 8^D
-        l = self.num_leaves
-        d = 0
-        while l > 1:
-            l //= 8
-            d += 1
-        return d
+        return self.nodes.shape[0] - self.num_internal
 
 
 def _ceil_log8(n: int) -> int:
@@ -89,18 +72,27 @@ def _ceil_log8(n: int) -> int:
     return d
 
 
+def plan(num_tris: int, leaf_size: int):
+    """Static tree dimensions for `num_tris` triangles:
+    (depth, num_internal, num_leaves, row_width)."""
+    depth = max(_ceil_log8(max(-(-num_tris // leaf_size), 1)), 1)
+    l_leaves = 8 ** depth
+    ni = (8 ** depth - 1) // 7
+    width = max(48, 9 * leaf_size)
+    return depth, ni, l_leaves, width
+
+
 def build(tri_v: jnp.ndarray, leaf_size: int = 8):
     """Returns (Wbvh8, sorted_tri_v [L*K,3,3], valid [L*K]).
 
-    Jittable; runs on-device. Uses the same Morton sort as the binary
-    LBVH, then fits binary levels and collapses 3 per 8-ary level.
+    Jittable; runs on-device (the TPU-native replacement for Embree's
+    rtcCommitScene, scene.cpp:107).
     """
     n = tri_v.shape[0]
     k = leaf_size
-    depth = max(_ceil_log8(max(-(-n // k), 1)), 1)
-    l_leaves = 8 ** depth
+    depth, ni, l_leaves, width = plan(n, k)
 
-    # Morton order (reuse binary machinery, padded to 8^D leaves).
+    # Morton order.
     centroids = tri_v.mean(axis=1) if n else jnp.zeros((0, 3))
     lo = centroids.min(axis=0) if n else jnp.zeros(3)
     hi = centroids.max(axis=0) if n else jnp.ones(3)
@@ -117,48 +109,49 @@ def build(tri_v: jnp.ndarray, leaf_size: int = 8):
     else:
         sorted_v = jnp.zeros((l_leaves * k, 3, 3), tri_v.dtype)
 
-    # Per-leaf AABBs.
+    # Per-leaf AABBs (inverted sentinel while fitting).
     lo_tri = jnp.where(valid[:, None], sorted_v.min(axis=1), _INF)
     hi_tri = jnp.where(valid[:, None], sorted_v.max(axis=1), -_INF)
     leaf_lo = lo_tri.reshape(l_leaves, k, 3).min(axis=1)
     leaf_hi = hi_tri.reshape(l_leaves, k, 3).max(axis=1)
 
-    # Binary levels bottom-up: levels[i] has 8^depth / 2^i nodes.
+    # Binary levels bottom-up.
     lvl_lo = [leaf_lo]
     lvl_hi = [leaf_hi]
     while lvl_lo[0].shape[0] > 1:
         lvl_lo.insert(0, jnp.minimum(lvl_lo[0][0::2], lvl_lo[0][1::2]))
         lvl_hi.insert(0, jnp.maximum(lvl_hi[0][0::2], lvl_hi[0][1::2]))
 
-    # 8-ary internal level d's children = binary level 3(d+1), reshaped
-    # so each internal node's row holds its 8 children boxes.
-    #
-    # Empty (padding) subtrees carry inverted boxes through the min/max
-    # fit, but an inverted box does NOT fail a branchless slab test (its
-    # +/-inf slabs cancel into "no constraint"). Canonicalize empties to
-    # the point-at-infinity box (BIG, BIG), which misses every ray under
-    # IEEE semantics: every axis yields tmin=tmax=+/-inf of one sign, so
-    # either tmax < max(tmin, TNEAR) or tmin >= t_best.
+    # Internal rows: component-major children boxes.
     blocks = []
     for d in range(depth):
         bl = lvl_lo[3 * (d + 1)]
         bh = lvl_hi[3 * (d + 1)]
-        empty = (bh[:, :1] < bl[:, :1])
+        empty = bh[:, :1] < bl[:, :1]
         bl = jnp.where(empty, _INF, bl)
         bh = jnp.where(empty, _INF, bh)
-        box = jnp.concatenate([bl, bh], axis=1)  # [8^(d+1), 6]
-        blocks.append(box.reshape(8 ** d, 48))
-    children_boxes = jnp.concatenate(blocks, axis=0)
+        # [8^(d+1), 3] -> [8^d, 8, 3] -> [8^d, 3, 8] -> [8^d, 24]
+        bl8 = bl.reshape(8 ** d, 8, 3).transpose(0, 2, 1).reshape(-1, 24)
+        bh8 = bh.reshape(8 ** d, 8, 3).transpose(0, 2, 1).reshape(-1, 24)
+        blocks.append(jnp.concatenate([bl8, bh8], axis=1))  # [8^d, 48]
+    internal = jnp.concatenate(blocks, axis=0)
+    if width > 48:
+        internal = jnp.pad(internal, ((0, 0), (0, width - 48)))
 
-    # Leaf triangle rows: [L, K*9] = K x (v0, e1, e2).
+    # Leaf rows: component-major triangles.
     v0 = sorted_v[:, 0, :]
     e1 = sorted_v[:, 1, :] - sorted_v[:, 0, :]
     e2 = sorted_v[:, 2, :] - sorted_v[:, 0, :]
-    leaf_tris = jnp.concatenate([v0, e1, e2], axis=1).reshape(
-        l_leaves, k * 9)
+    comps = jnp.concatenate([v0, e1, e2], axis=1)  # [L*K, 9]
+    # [L, K, 9] -> [L, 9, K] -> [L, 9K]
+    leaf_rows = comps.reshape(l_leaves, k, 9).transpose(0, 2, 1).reshape(
+        l_leaves, 9 * k)
+    if width > 9 * k:
+        leaf_rows = jnp.pad(leaf_rows, ((0, 0), (0, width - 9 * k)))
 
-    return Wbvh8(children_boxes=children_boxes, leaf_tris=leaf_tris,
-                 order=order), sorted_v, valid
+    nodes = jnp.concatenate([internal, leaf_rows], axis=0)
+    return Wbvh8(nodes=nodes, order=order, num_internal=ni, depth=depth,
+                 leaf_size=k), sorted_v, valid
 
 
 def _lowest_bit_index(m: jnp.ndarray) -> jnp.ndarray:
@@ -168,34 +161,47 @@ def _lowest_bit_index(m: jnp.ndarray) -> jnp.ndarray:
     return jnp.log2(lsb.astype(jnp.float32)).astype(jnp.int32)
 
 
-def traverse8(bvh_children: jnp.ndarray, bvh_leaves: jnp.ndarray,
+def _rep(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """[R] -> [R*k], element-interleaved (matches [R, k] row-major)."""
+    return jnp.repeat(x, k, total_repeat_length=x.shape[0] * k)
+
+
+def traverse8(nodes: jnp.ndarray, num_internal: int,
               depth: int, leaf_size: int,
               o: V3, d: V3,
               active_in: jnp.ndarray | None = None) -> Hit:
-    """Closest-hit traversal of a Wbvh8.
-
-    bvh_children: [NI, 48]; bvh_leaves: [L, K*9]; o/d: V3 of [R].
-    Returns Hit with tri ids in sorted-slot order (-1 = miss).
-    """
-    ni = bvh_children.shape[0]
+    """Closest-hit traversal. o/d: V3 of [R]. Returns Hit with tri ids
+    in sorted-slot order (-1 = miss)."""
+    ni = num_internal
     k = leaf_size
     r = o.x.shape[0]
+    n_rows = nodes.shape[0]
 
     inv = V3(
         jnp.where(jnp.abs(d.x) > 1e-20, 1.0 / d.x, jnp.float32(1e20)),
         jnp.where(jnp.abs(d.y) > 1e-20, 1.0 / d.y, jnp.float32(1e20)),
         jnp.where(jnp.abs(d.z) > 1e-20, 1.0 / d.z, jnp.float32(1e20)),
     )
-    # Octant bits match Morton child-index bits: (x << 2) | (y << 1) | z.
     oct_ = ((d.x < 0).astype(jnp.int32) << 2
             | (d.y < 0).astype(jnp.int32) << 1
             | (d.z < 0).astype(jnp.int32))
 
+    # Loop-invariant flat broadcasts.
+    o8 = V3(_rep(o.x, 8), _rep(o.y, 8), _rep(o.z, 8))
+    inv8 = V3(_rep(inv.x, 8), _rep(inv.y, 8), _rep(inv.z, 8))
+    if k == 8:
+        oK = o8
+        dK = V3(_rep(d.x, 8), _rep(d.y, 8), _rep(d.z, 8))
+    else:
+        oK = V3(_rep(o.x, k), _rep(o.y, k), _rep(o.z, k))
+        dK = V3(_rep(d.x, k), _rep(d.y, k), _rep(d.z, k))
+    j8 = jnp.arange(8, dtype=jnp.int32)
+
     active0 = jnp.ones((r,), bool) if active_in is None else active_in
 
     state = dict(
-        cur=jnp.zeros((r,), jnp.int32),       # start at root (internal 0)
-        level=jnp.zeros((r,), jnp.int32),     # depth of cur
+        cur=jnp.zeros((r,), jnp.int32),
+        level=jnp.zeros((r,), jnp.int32),
         trail=tuple(jnp.zeros((r,), jnp.int32) for _ in range(depth)),
         t=jnp.full((r,), BIG, jnp.float32),
         tri=jnp.full((r,), -1, jnp.int32),
@@ -211,85 +217,88 @@ def traverse8(bvh_children: jnp.ndarray, bvh_leaves: jnp.ndarray,
         cur, level, trail, alive = s["cur"], s["level"], s["trail"], s["alive"]
         is_leaf = cur >= ni
 
-        # ---------- internal phase: one 48-wide gather ----------------
-        # SoA layout discipline: transpose the gathered rows ONCE so all
-        # subsequent math runs on full-width [R] vectors — [R, 8]
-        # intermediates would put 8 in the VPU lane dim and waste 15/16
-        # of the machine.
-        g = jnp.take(bvh_children, jnp.clip(cur, 0, ni - 1), axis=0)
-        cols = g.T  # [48, R]
-        not_leaf_live = (~is_leaf) & alive
-        pm = jnp.zeros((r,), jnp.int32)
-        for j in range(8):
-            b = cols[j * 6:(j + 1) * 6]
-            t1x = (b[0] - o.x) * inv.x
-            t1y = (b[1] - o.y) * inv.y
-            t1z = (b[2] - o.z) * inv.z
-            t2x = (b[3] - o.x) * inv.x
-            t2y = (b[4] - o.y) * inv.y
-            t2z = (b[5] - o.z) * inv.z
-            tmin = jnp.maximum(jnp.maximum(jnp.minimum(t1x, t2x),
-                                           jnp.minimum(t1y, t2y)),
-                               jnp.minimum(t1z, t2z))
-            tmax = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
-                                           jnp.maximum(t1y, t2y)),
-                               jnp.maximum(t1z, t2z))
-            hit_j = ((tmax >= jnp.maximum(tmin, TNEAR)) & (tmin < s["t"])
-                     & not_leaf_live)
-            # Pre-permuted pending mask: bit p <-> child (p XOR oct).
-            pm = pm | (hit_j.astype(jnp.int32) << (j ^ oct_))
+        # ---------------- ONE unified gather -------------------------
+        row = jnp.take(nodes, jnp.clip(cur, 0, n_rows - 1), axis=0)
 
-        # ---------- leaf phase: one K*9-wide gather --------------------
-        leaf_idx = jnp.clip(cur - ni, 0, bvh_leaves.shape[0] - 1)
-        rows = jnp.take(bvh_leaves, leaf_idx, axis=0).T  # [K*9, R]
-        do_leaf = alive & is_leaf
-        t_new = s["t"]
-        tri_new = s["tri"]
-        u_new = s["u"]
-        v_new = s["v"]
-        for j in range(k):
-            c9 = rows[j * 9:(j + 1) * 9]
-            v0 = V3(c9[0], c9[1], c9[2])
-            e1 = V3(c9[3], c9[4], c9[5])
-            e2 = V3(c9[6], c9[7], c9[8])
-            ok, tt, uu, vv = moller_trumbore(o, d, v0, e1, e2, t_new)
-            ok = ok & do_leaf
-            better = ok & (tt < t_new)
-            t_new = jnp.where(better, tt, t_new)
-            tri_new = jnp.where(better, (cur - ni) * k + j, tri_new)
-            u_new = jnp.where(better, uu, u_new)
-            v_new = jnp.where(better, vv, v_new)
+        # ---------------- internal: slab 8 children ------------------
+        # row[:, :48] as [R, 6, 8]; component c slice -> flat [8R].
+        boxes = row[:, :48].reshape(r, 6, 8)
+        cflat = lambda c: boxes[:, c, :].reshape(r * 8)
+        t1x = (cflat(0) - o8.x) * inv8.x
+        t1y = (cflat(1) - o8.y) * inv8.y
+        t1z = (cflat(2) - o8.z) * inv8.z
+        t2x = (cflat(3) - o8.x) * inv8.x
+        t2y = (cflat(4) - o8.y) * inv8.y
+        t2z = (cflat(5) - o8.z) * inv8.z
+        tmin = jnp.maximum(jnp.maximum(jnp.minimum(t1x, t2x),
+                                       jnp.minimum(t1y, t2y)),
+                           jnp.minimum(t1z, t2z)).reshape(r, 8)
+        tmax = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
+                                       jnp.maximum(t1y, t2y)),
+                           jnp.maximum(t1z, t2z)).reshape(r, 8)
+        chit = ((tmax >= jnp.maximum(tmin, TNEAR))
+                & (tmin < s["t"][:, None])
+                & ((~is_leaf) & alive)[:, None])
+        # Pre-permuted pending mask: bit (j XOR oct) <-> child j.
+        pm = jnp.sum(chit.astype(jnp.int32)
+                     << (j8[None, :] ^ oct_[:, None]), axis=1)
 
-        # ---------- advance --------------------------------------------
-        # trail is a TUPLE of depth [R] arrays (SoA again); every op
-        # below is a full-width [R] vector op, unrolled over depth.
+        # ---------------- leaf: Moller-Trumbore K tris ----------------
+        tris = row[:, :9 * k].reshape(r, 9, k)
+        tflat = lambda c: tris[:, c, :].reshape(r * k)
+        v0 = V3(tflat(0), tflat(1), tflat(2))
+        e1 = V3(tflat(3), tflat(4), tflat(5))
+        e2 = V3(tflat(6), tflat(7), tflat(8))
+        # MT in flat [K*R] domain (full VPU lanes)
+        px_ = dK.y * e2.z - dK.z * e2.y
+        py_ = dK.z * e2.x - dK.x * e2.z
+        pz_ = dK.x * e2.y - dK.y * e2.x
+        det = e1.x * px_ + e1.y * py_ + e1.z * pz_
+        inv_det = jnp.where(jnp.abs(det) > _DET_EPS, 1.0 / det, 0.0)
+        tx = oK.x - v0.x
+        ty = oK.y - v0.y
+        tz = oK.z - v0.z
+        uu = (tx * px_ + ty * py_ + tz * pz_) * inv_det
+        qx = ty * e1.z - tz * e1.y
+        qy = tz * e1.x - tx * e1.z
+        qz = tx * e1.y - ty * e1.x
+        vv = (dK.x * qx + dK.y * qy + dK.z * qz) * inv_det
+        tt = (e2.x * qx + e2.y * qy + e2.z * qz) * inv_det
+        ok = ((jnp.abs(det) > _DET_EPS)
+              & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+              & (tt > TNEAR))
+        tt2 = jnp.where(ok, tt, BIG).reshape(r, k)
+        tt2 = jnp.where((alive & is_leaf)[:, None], tt2, BIG)
+        kb = jnp.argmin(tt2, axis=1)
+        t_cand = jnp.min(tt2, axis=1)
+        better = t_cand < s["t"]
+        flat_idx = jnp.arange(r, dtype=jnp.int32) * k + kb.astype(jnp.int32)
+        t_new = jnp.where(better, t_cand, s["t"])
+        tri_new = jnp.where(better, (cur - ni) * k + kb.astype(jnp.int32),
+                            s["tri"])
+        u_new = jnp.where(better, jnp.take(uu, flat_idx), s["u"])
+        v_new = jnp.where(better, jnp.take(vv, flat_idx), s["v"])
+
+        # ---------------- advance ------------------------------------
         has = pm != 0
         descend = alive & ~is_leaf & has
-
         p_low = _lowest_bit_index(jnp.where(has, pm, 1))
         child = cur * 8 + 1 + (p_low ^ oct_)
-        rest = pm & (pm - 1)  # clear lowest bit
-        # store pending siblings at trail[level] (mask over children at
-        # depth level+1)
+        rest = pm & (pm - 1)
         trail_desc = tuple(
             jnp.where(descend & (level == dd), rest, trail[dd])
             for dd in range(depth))
 
-        # backtrack lanes: leaf lanes and internal lanes with no hits
         backtrack = alive & (is_leaf | (~is_leaf & ~has))
-        # deepest level with pending bits
         dstar = jnp.full((r,), -1, jnp.int32)
         for dd in range(depth):
             dstar = jnp.where(trail_desc[dd] != 0, dd, dstar)
         dead = backtrack & (dstar < 0)
-        # pending mask at d*
         pm_b = jnp.zeros((r,), jnp.int32)
         for dd in range(depth):
             pm_b = jnp.where(dstar == dd, trail_desc[dd], pm_b)
         p_b = _lowest_bit_index(jnp.where(pm_b != 0, pm_b, 1))
         rest_b = pm_b & (pm_b - 1)
-        # ancestor of cur at depth dstar (apply parent op (level-dstar)
-        # times)
         steps = jnp.clip(level - dstar, 0, depth)
         anc = cur
         for si in range(depth):

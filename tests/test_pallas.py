@@ -1,0 +1,71 @@
+"""Pallas packet-traversal kernel: interpret-mode equivalence with the
+XLA traversal and brute force (the real-hardware path is exercised by
+bench.py on TPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sycl_ray_tracer_tpu.ops import wbvh
+from sycl_ray_tracer_tpu.ops.intersect import intersect_brute_np
+from sycl_ray_tracer_tpu.ops.vec import V3
+
+
+def _traverse_interpret(nodes, ni, depth, k, o, d, active=None):
+    import sycl_ray_tracer_tpu.ops.traverse_pallas as TP
+    from jax.experimental import pallas as pl
+
+    orig = pl.pallas_call
+
+    def patched(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    TP.pl.pallas_call = patched
+    try:
+        return TP.traverse_packets(nodes, ni, depth, k, o, d, active=active)
+    finally:
+        TP.pl.pallas_call = orig
+
+
+def test_packet_kernel_matches_brute(rs):
+    n, k = 1500, 8
+    c = rs.uniform(-5, 5, (n, 3)).astype(np.float32)
+    tri = c[:, None, :] + rs.uniform(-0.3, 0.3, (n, 3, 3)).astype(np.float32)
+    depth, ni, _, _ = wbvh.plan(n, k)
+    bvh, sorted_v, _ = jax.jit(lambda t: wbvh.build(t, k))(jnp.asarray(tri))
+
+    r = 2048
+    o_np = rs.uniform(-8, 8, (r, 3)).astype(np.float32)
+    d_np = rs.uniform(-1, 1, (r, 3)).astype(np.float32)
+    o = V3(*(jnp.asarray(o_np[:, i]) for i in range(3)))
+    d = V3(*(jnp.asarray(d_np[:, i]) for i in range(3)))
+
+    hit = _traverse_interpret(bvh.nodes, ni, depth, k, o, d)
+    t_b, id_b, _, _ = intersect_brute_np(o_np, d_np, np.asarray(sorted_v))
+    id1 = np.asarray(hit.tri)
+    t1 = np.asarray(hit.t)
+    assert ((id1 >= 0) == (id_b >= 0)).all()
+    both = id1 >= 0
+    assert (id1[both] == id_b[both]).all()
+    assert np.allclose(t1[both], t_b[both], rtol=1e-5, atol=1e-6)
+
+
+def test_packet_kernel_active_mask(rs):
+    n, k = 300, 8
+    c = rs.uniform(-2, 2, (n, 3)).astype(np.float32)
+    tri = c[:, None, :] + rs.uniform(-0.3, 0.3, (n, 3, 3)).astype(np.float32)
+    # one guaranteed target square on the z axis
+    tri[0] = np.array([[-1, -1, 0], [1, -1, 0], [0, 1, 0]], np.float32)
+    depth, ni, _, _ = wbvh.plan(n, k)
+    bvh, _, _ = jax.jit(lambda t: wbvh.build(t, k))(jnp.asarray(tri))
+
+    r = 1024
+    o = V3(jnp.zeros(r), jnp.zeros(r), jnp.full(r, 8.0))
+    d = V3(jnp.zeros(r), jnp.zeros(r), jnp.full(r, -1.0))
+    active = jnp.asarray(np.arange(r) % 2 == 0)
+    hit = _traverse_interpret(bvh.nodes, ni, depth, k, o, d, active=active)
+    tri_ids = np.asarray(hit.tri)
+    assert (tri_ids[1::2] == -1).all()          # inactive lanes untouched
+    assert (tri_ids[0::2] >= 0).all()           # active lanes hit
