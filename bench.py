@@ -18,10 +18,10 @@ import os
 import sys
 import time
 
-SPP = int(os.environ.get("BENCH_SPP", 64))
+SPP = int(os.environ.get("BENCH_SPP", 4))
 DEPTH = int(os.environ.get("BENCH_DEPTH", 10))
 RES = int(os.environ.get("BENCH_RES", 1024))
-RUNS = int(os.environ.get("BENCH_RUNS", 3))
+RUNS = int(os.environ.get("BENCH_RUNS", 2))
 SCALE = int(os.environ.get("BENCH_SCENE_SCALE", 2))
 BASELINE_MRAYS = 200.0  # BASELINE.json target for this hardware
 
@@ -29,6 +29,9 @@ BASELINE_MRAYS = 200.0  # BASELINE.json target for this hardware
 def main():
     import numpy as np
     import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_comp"))
 
     from sycl_ray_tracer_tpu.models.camera import make_camera
     from sycl_ray_tracer_tpu.models.scene import build_device_scene
@@ -39,7 +42,7 @@ def main():
     t0 = time.perf_counter()
     host = load_glb(sponza_like_glb(scale=SCALE))
     scene = build_device_scene(host)
-    jax.block_until_ready(scene.node_lo)
+    jax.block_until_ready(scene.bvh_nodes)
     cam = make_camera(RES, RES, host.camera_position,
                       host.camera_direction, host.camera_focal_length)
     print(f"# scene: {host.num_triangles} tris, build "

@@ -122,10 +122,12 @@ def sponza_like_glb(scale: int = 2, seed: int = 0) -> bytes:
             for y in (0.0, 5.5):
                 b.add_node(mesh=col_mesh, translation=[x, y, float(z)])
 
-    # story separator slabs
-    bv, bn, bu, bi = _box((hall_w, 0.6, hall_d))
-    b.add_node(mesh=b.add_mesh(bv, bn, bu, bi, wall_m),
-               translation=[0, 4.7, 0])
+    # story separator balconies along each wall; the center stays open
+    # to the sky like Sponza's atrium
+    bv, bn, bu, bi = _box((hall_w / 3.5, 0.6, hall_d))
+    slab_mesh = b.add_mesh(bv, bn, bu, bi, wall_m)
+    b.add_node(mesh=slab_mesh, translation=[-w2 + hall_w / 7, 4.7, 0])
+    b.add_node(mesh=slab_mesh, translation=[w2 - hall_w / 7, 4.7, 0])
 
     # clutter: spheres and boxes with mixed materials
     sphere_meshes = {
@@ -151,11 +153,12 @@ def sponza_like_glb(scale: int = 2, seed: int = 0) -> bytes:
             b.add_node(mesh=b.add_mesh(bv2, bn2, bu2, bi2, m),
                        translation=[x, 0, z])
 
-    # hanging lamps
+    # lamps under the balconies, two rows
     lv, ln, lu, li = _box((0.8, 0.15, 0.8))
     lamp_mesh = b.add_mesh(lv, ln, lu, li, light_m)
     for z in np.linspace(-d2 + 6, d2 - 6, 6):
-        b.add_node(mesh=lamp_mesh, translation=[0, hall_h - 1.5, float(z)])
+        for x in (-w2 + hall_w / 7, w2 - hall_w / 7):
+            b.add_node(mesh=lamp_mesh, translation=[x, 4.2, float(z)])
 
     b.add_node(camera=b.add_camera(yfov=np.deg2rad(60)),
                translation=[0, 2.2, d2 - 2.0])
