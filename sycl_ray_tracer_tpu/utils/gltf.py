@@ -290,13 +290,33 @@ def _geometric_normals(v: np.ndarray) -> np.ndarray:
     return n / np.maximum(ln, 1e-20)
 
 
-def load_glb(path_or_bytes, global_scale=(1.0, 1.0, 1.0)) -> HostScene:
-    """Parse a .glb file into a flat world-space HostScene."""
+def load_glb(path_or_bytes, global_scale=(1.0, 1.0, 1.0),
+             use_native: Optional[bool] = None) -> HostScene:
+    """Parse a .glb file into a flat world-space HostScene.
+
+    use_native: True forces the C++ ingest core (native/srt_native.cpp),
+    False forces pure Python, None (default) tries native and falls back.
+    The two paths produce identical arrays (tests/test_native.py).
+    """
     if isinstance(path_or_bytes, (bytes, bytearray)):
         data = bytes(path_or_bytes)
     else:
         with open(path_or_bytes, "rb") as f:
             data = f.read()
+
+    if use_native is not False:
+        from sycl_ray_tracer_tpu.utils import native_loader
+        try:
+            host = native_loader.load_glb_native(data, global_scale)
+        except Exception:
+            if use_native:
+                raise
+            host = None
+        if host is not None:
+            return host
+        if use_native:
+            raise RuntimeError("native loader unavailable")
+
     gltf, blob = _parse_glb_container(data)
 
     scene_idx = gltf.get("scene", 0)
