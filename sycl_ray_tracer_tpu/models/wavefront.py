@@ -267,6 +267,13 @@ def render_wavefront(scene, cam: Camera, *, width: int, height: int,
     the queue resident on device. Host sees one scalar (the live-ray
     count) per bounce, mirroring render_wavefront.cpp:144.
     """
+    import os
+    import time as _time
+
+    # SRT_PROFILE=1 re-enables the per-phase wall clock the reference
+    # keeps dormant (print_elapsed, render_wavefront.cpp:129-137).
+    profile = os.environ.get("SRT_PROFILE") == "1"
+
     n = width * height
     combined = None
     rays = np.zeros((max_depth,), np.int64)
@@ -278,9 +285,14 @@ def render_wavefront(scene, cam: Camera, *, width: int, height: int,
             if count == 0:
                 break
             rays[bounce] += count
+            t0 = _time.perf_counter() if profile else 0.0
             state = _bounce_step(scene, state, key_lane, bounce,
                                  capacity=n)
             count = int(state[13])
+            if profile:
+                print(f"[profile] sample {s} bounce {bounce}: "
+                      f"{(_time.perf_counter() - t0) * 1e3:.1f} ms, "
+                      f"queue -> {count}")
         acc = state[14]
         combined = acc if combined is None else combined + acc
     img = linear_to_gamma(combined * (1.0 / spp))

@@ -86,9 +86,7 @@ def main(argv=None) -> int:
     import numpy as np
 
     from sycl_ray_tracer_tpu.models.camera import make_camera
-    from sycl_ray_tracer_tpu.models.megakernel import render_megakernel
     from sycl_ray_tracer_tpu.models.scene import build_device_scene
-    from sycl_ray_tracer_tpu.models.wavefront import render_wavefront
     from sycl_ray_tracer_tpu.utils.gltf import load_glb
     from sycl_ray_tracer_tpu.utils.image_io import write_png
 
@@ -102,20 +100,20 @@ def main(argv=None) -> int:
               spp=args.sample_count, max_depth=args.max_depth,
               seed=args.seed)
 
+    renderer_name = "megakernel" if use_megakernel else "wavefront"
     if args.devices > 1:
         from sycl_ray_tracer_tpu.parallel.mesh import make_mesh, render_sharded
         mesh = make_mesh(dp=args.devices)
-        renderer = "megakernel" if use_megakernel else "wavefront"
 
         def run():
             return render_sharded(scene, cam, mesh=mesh,
-                                  renderer=renderer, **kw)
-    elif use_megakernel:
-        def run():
-            return render_megakernel(scene, cam, **kw)
+                                  renderer=renderer_name, **kw)
     else:
+        from sycl_ray_tracer_tpu.models.renderer import get_renderer
+        renderer = get_renderer(renderer_name)
+
         def run():
-            return render_wavefront(scene, cam, **kw)
+            return renderer(scene, cam, **kw)
 
     import jax
 
