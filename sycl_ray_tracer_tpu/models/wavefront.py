@@ -123,7 +123,10 @@ def _bounce(scene, key_lane, carry, bounce_idx, capacity):
 
     terminated = in_q & (miss | ~cont)
     contrib = where(in_q & miss, res_miss, res_absorb)
-    pix = jnp.where(terminated, q_id, capacity)
+    # drop slot = acc length, NOT queue capacity: the queue may be a
+    # bucket smaller than the frame (bucketed dispatch), and capacity
+    # would collide with a real pixel id.
+    pix = jnp.where(terminated, q_id, acc.shape[0])
     acc = acc.at[pix, 0].add(contrib.x, mode="drop")
     acc = acc.at[pix, 1].add(contrib.y, mode="drop")
     acc = acc.at[pix, 2].add(contrib.z, mode="drop")
@@ -277,6 +280,14 @@ def render_wavefront(scene, cam: Camera, *, width: int, height: int,
     n = width * height
     combined = None
     rays = np.zeros((max_depth,), np.int64)
+
+    def bucket_of(c):
+        # Survivors are a compacted prefix, so later bounces can run
+        # programs sized to the live count. Power-of-two buckets bound
+        # the number of compiled shapes; 64K floor bounds it further.
+        b = 1 << max(int(c - 1).bit_length(), 16)
+        return min(b, n)
+
     for s in range(spp):
         key_lane, state = _gen_queue(scene, cam, seed, s,
                                      width=width, height=height)
@@ -286,13 +297,16 @@ def render_wavefront(scene, cam: Camera, *, width: int, height: int,
                 break
             rays[bounce] += count
             t0 = _time.perf_counter() if profile else 0.0
+            b = bucket_of(count)
+            if state[0].shape[0] != b:
+                state = tuple(a[:b] for a in state[:13]) + state[13:]
             state = _bounce_step(scene, state, key_lane, bounce,
-                                 capacity=n)
+                                 capacity=b)
             count = int(state[13])
             if profile:
                 print(f"[profile] sample {s} bounce {bounce}: "
                       f"{(_time.perf_counter() - t0) * 1e3:.1f} ms, "
-                      f"queue -> {count}")
+                      f"bucket {b}, queue -> {count}")
         acc = state[14]
         combined = acc if combined is None else combined + acc
     img = linear_to_gamma(combined * (1.0 / spp))

@@ -40,7 +40,16 @@ from jax.experimental.pallas import tpu as pltpu
 from sycl_ray_tracer_tpu.ops.intersect import BIG, TNEAR, Hit, _DET_EPS
 from sycl_ray_tracer_tpu.ops.vec import V3
 
-PACKET = 1024          # rays per packet = one (8, 128) register set
+import os
+
+# Rays per packet: one (ROWS, 128) register set. Bigger packets
+# amortize per-visit scalar overhead; smaller packets shrink the
+# union of per-ray visit sets. Measured on v5e (sponza_proc, full
+# wavefront sample): 8 rows 7.6s, 16 rows 6.5s, 64 rows 7.8s ->
+# 16 rows (2048 rays) is the sweet spot. Must be a multiple of 8
+# (f32 sublane tile). Override with SRT_PACKET_ROWS for experiments.
+PACKET_ROWS = int(os.environ.get("SRT_PACKET_ROWS", "16"))
+PACKET = PACKET_ROWS * 128
 _STACK = 128           # shared stack slots (worst case depth*7 + slack)
 
 
@@ -72,13 +81,14 @@ def _packet_kernel(nodes_ref,
     # test, so they add nothing to the packet's union visit set.
     t0 = jnp.where(active, jnp.float32(BIG), jnp.float32(0.0))
 
+    rows = PACKET_ROWS
     stack_ref[0] = 0  # root
     carry0 = (
         jnp.int32(1),
         t0,
-        jnp.full((8, 128), -1, jnp.int32),
-        jnp.zeros((8, 128), jnp.float32),
-        jnp.zeros((8, 128), jnp.float32),
+        jnp.full((rows, 128), -1, jnp.int32),
+        jnp.zeros((rows, 128), jnp.float32),
+        jnp.zeros((rows, 128), jnp.float32),
     )
 
     def cond(c):
@@ -212,7 +222,7 @@ def traverse_packets(nodes: jnp.ndarray, ni: int, depth: int,
             prep(d.x), prep(d.y), prep(d.z), prep(act, 0))
 
     grid = rp // PACKET
-    ray_spec = pl.BlockSpec((8, 128), lambda g: (g, 0),
+    ray_spec = pl.BlockSpec((PACKET_ROWS, 128), lambda g: (g, 0),
                             memory_space=pltpu.VMEM)
     out_shape = [
         jax.ShapeDtypeStruct((rp // 128, 128), jnp.float32),
