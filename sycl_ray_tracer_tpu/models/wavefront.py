@@ -123,10 +123,11 @@ def _bounce(scene, key_lane, carry, bounce_idx, capacity):
 
     terminated = in_q & (miss | ~cont)
     contrib = where(in_q & miss, res_miss, res_absorb)
-    # drop slot = acc length, NOT queue capacity: the queue may be a
-    # bucket smaller than the frame (bucketed dispatch), and capacity
+    # Pixel = ray id mod accumulator length (ids above it are extra
+    # sample waves of the same frame); drop slot = acc length, NOT
+    # queue capacity — the queue may be a smaller bucket, and capacity
     # would collide with a real pixel id.
-    pix = jnp.where(terminated, q_id, acc.shape[0])
+    pix = jnp.where(terminated, q_id % acc.shape[0], acc.shape[0])
     acc = acc.at[pix, 0].add(contrib.x, mode="drop")
     acc = acc.at[pix, 1].add(contrib.y, mode="drop")
     acc = acc.at[pix, 2].add(contrib.z, mode="drop")
@@ -224,24 +225,32 @@ def accumulate_wavefront(scene, cam: Camera, px, py, lane, *,
         (jnp.zeros((n, 3), jnp.float32), jnp.zeros((max_depth,), jnp.int32)))
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height"))
+@functools.partial(jax.jit, static_argnames=("width", "height", "waves"))
 def _gen_queue(scene, cam: Camera, seed, sample_offset, *, width: int,
-               height: int):
-    """generate_camera_rays stage (render_wavefront.cpp:79-127)."""
+               height: int, waves: int = 1):
+    """generate_camera_rays stage (render_wavefront.cpp:79-127).
+
+    `waves` camera samples are batched into ONE queue of waves*W*H
+    rays (lane // n = sample index within the batch, lane % n = pixel).
+    Batching amortizes the fixed per-bounce cost and gives the
+    coherence sort a larger pool."""
     n = width * height
-    lane = jnp.arange(n, dtype=jnp.uint32)
-    px = (lane % jnp.uint32(width)).astype(jnp.int32)
-    py = (lane // jnp.uint32(width)).astype(jnp.int32)
-    sample_seed = _rng.make_key(jnp.asarray(seed, jnp.uint32),
-                                jnp.asarray(sample_offset, jnp.uint32))
-    key_lane = _rng.make_key(sample_seed, lane)
+    total = waves * n
+    lane = jnp.arange(total, dtype=jnp.uint32)
+    pix = lane % jnp.uint32(n)
+    px = (pix % jnp.uint32(width)).astype(jnp.int32)
+    py = (pix // jnp.uint32(width)).astype(jnp.int32)
+    sample_seed = _rng.make_key(
+        jnp.asarray(seed, jnp.uint32),
+        jnp.asarray(sample_offset, jnp.uint32) + lane // jnp.uint32(n))
+    key_lane = _rng.make_key(sample_seed, pix)
     o, d = generate_rays(cam, px, py, key_lane)
-    ones = jnp.ones((n,), jnp.float32)
-    zeros = jnp.zeros((n,), jnp.float32)
+    ones = jnp.ones((total,), jnp.float32)
+    zeros = jnp.zeros((total,), jnp.float32)
     acc = jnp.zeros((n, 3), jnp.float32)
     state = (o.x, o.y, o.z, d.x, d.y, d.z,
              ones, ones, ones, zeros, zeros, zeros,
-             jnp.arange(n, dtype=jnp.int32), jnp.int32(n), acc,
+             jnp.arange(total, dtype=jnp.int32), jnp.int32(total), acc,
              jnp.zeros((1,), jnp.int32))
     return key_lane, state
 
@@ -281,34 +290,44 @@ def render_wavefront(scene, cam: Camera, *, width: int, height: int,
     combined = None
     rays = np.zeros((max_depth,), np.int64)
 
-    def bucket_of(c):
+    # Batch samples into waves of up to ~8M rays per queue (measured:
+    # 1M waves 0.88, 2M 1.02, 4M 1.16, 8M 1.24 Mrays/s on v5e;
+    # override with SRT_WAVE_RAYS).
+    wave_rays = int(os.environ.get("SRT_WAVE_RAYS", str(8 << 20)))
+    waves = max(1, min(spp, wave_rays // n))
+
+    def bucket_of(c, cap):
         # Survivors are a compacted prefix, so later bounces can run
         # programs sized to the live count. Power-of-two buckets bound
         # the number of compiled shapes; 64K floor bounds it further.
         b = 1 << max(int(c - 1).bit_length(), 16)
-        return min(b, n)
+        return min(b, cap)
 
-    for s in range(spp):
+    s = 0
+    while s < spp:
+        w = min(waves, spp - s)
+        cap = w * n
         key_lane, state = _gen_queue(scene, cam, seed, s,
-                                     width=width, height=height)
-        count = n
+                                     width=width, height=height, waves=w)
+        count = cap
         for bounce in range(max_depth):
             if count == 0:
                 break
             rays[bounce] += count
             t0 = _time.perf_counter() if profile else 0.0
-            b = bucket_of(count)
+            b = bucket_of(count, cap)
             if state[0].shape[0] != b:
                 state = tuple(a[:b] for a in state[:13]) + state[13:]
             state = _bounce_step(scene, state, key_lane, bounce,
                                  capacity=b)
             count = int(state[13])
             if profile:
-                print(f"[profile] sample {s} bounce {bounce}: "
+                print(f"[profile] wave@{s}x{w} bounce {bounce}: "
                       f"{(_time.perf_counter() - t0) * 1e3:.1f} ms, "
                       f"bucket {b}, queue -> {count}")
         acc = state[14]
         combined = acc if combined is None else combined + acc
+        s += w
     img = linear_to_gamma(combined * (1.0 / spp))
     return (img.reshape(height, width, 3),
             jnp.asarray(np.minimum(rays, 2**31 - 1).astype(np.int32)))
