@@ -52,6 +52,8 @@ def main():
     ap.add_argument("--height", type=int, default=1024)
     ap.add_argument("--full", action="store_true",
                     help="reference matrix: depths 10..50, samples 32..512")
+    ap.add_argument("--renderers", nargs="*",
+                    default=["megakernel", "wavefront"])
     args = ap.parse_args()
 
     depths = [10, 20, 30, 40, 50] if args.full else args.depths
@@ -61,6 +63,8 @@ def main():
     avg_rows = []
     for scene in args.scenes:
         for renderer, flag in (("megakernel", "-m"), ("wavefront", "-w")):
+            if renderer not in args.renderers:
+                continue
             for d in depths:
                 for s in samples:
                     per_run = []

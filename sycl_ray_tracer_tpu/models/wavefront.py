@@ -135,13 +135,16 @@ def _bounce(scene, key_lane, carry, bounce_idx, capacity):
     alive = in_q & ~miss & cont
     new_o = o + d * hit.t
     new_att = att * s_att
+    import os as _os
+    sort_key = (None if _os.environ.get("SRT_NO_SORT")
+                else _coherence_key(scene, new_o, new_dir))
     q2, new_count = _compact(alive, [
         new_o.x, new_o.y, new_o.z,
         new_dir.x, new_dir.y, new_dir.z,
         new_att.x, new_att.y, new_att.z,
         rad_hit.x, rad_hit.y, rad_hit.z,
         q_id,
-    ], capacity, sort_key=_coherence_key(scene, new_o, new_dir))
+    ], capacity, sort_key=sort_key)
     # Clamp the tally slot: the host-driven path passes a length-1
     # tally (it counts rays host-side); the traced path passes
     # [max_depth].

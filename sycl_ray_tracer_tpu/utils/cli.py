@@ -77,10 +77,15 @@ def main(argv=None) -> int:
 
     # SRT_PLATFORM=cpu forces the CPU backend even where a site plugin
     # pins jax_platforms through config (which outranks JAX_PLATFORMS).
+    import jax
     plat = os.environ.get("SRT_PLATFORM")
     if plat:
-        import jax
         jax.config.update("jax_platforms", plat)
+    # Persistent compile cache: the analog of the reference's
+    # SYCL_CACHE_PERSISTENT JIT cache (app.hpp:21-29).
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("SRT_COMPILE_CACHE",
+                                     os.path.expanduser("~/.cache/jax_comp")))
 
     print(f"Loading scene: {args.scene_path}")
     import numpy as np
