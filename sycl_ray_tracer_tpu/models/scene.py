@@ -30,7 +30,10 @@ DEFAULT_LEAF_SIZE = 8
 class DeviceScene:
     # WBVH8 (ops/wbvh.py): unified node table — internal rows pack the
     # 8 children AABBs, leaf rows pack K triangles, component-major.
-    bvh_nodes: jnp.ndarray  # [NI + L, max(48, 9K)]
+    bvh_nodes: jnp.ndarray  # [NI + L, max(48, 9K)] (XLA traversal)
+    # Split tables for the Pallas kernel (leaves = real rows only).
+    bvh_children: jnp.ndarray  # [NI, 48]
+    bvh_leaves: jnp.ndarray    # [ceil(N/K), 9K]
     # Shading data in sorted leaf order, padded to L*K rows.
     tri_n: jnp.ndarray     # [LK, 3, 3] unit shading normals (world)
     tri_uv: jnp.ndarray    # [LK, 3, 2]
@@ -89,6 +92,8 @@ def build_device_scene(host: HostScene,
     m = host.materials
     return DeviceScene(
         bvh_nodes=bvh.nodes,
+        bvh_children=bvh.children,
+        bvh_leaves=bvh.leaves,
         tri_n=jnp.asarray(tri_n), tri_uv=jnp.asarray(tri_uv),
         tri_mat=jnp.asarray(tri_mat),
         mat_type=jnp.asarray(m.mtype.astype(np.int32)),

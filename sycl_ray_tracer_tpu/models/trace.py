@@ -28,9 +28,11 @@ from sycl_ray_tracer_tpu.ops.intersect import Hit
 from sycl_ray_tracer_tpu.ops.wbvh import traverse8
 from sycl_ray_tracer_tpu.ops.vec import V3, normalize, where
 
-# The Pallas packet kernel needs the node table resident in VMEM
-# (~16 MB/core); beyond this we fall back to the XLA traversal.
-VMEM_TABLE_LIMIT_BYTES = 12 * 1024 * 1024
+# The Pallas packet kernel needs the split node tables resident in
+# VMEM; the compile ceiling measured on v5e is between 50 and 64 MB
+# (kernel stack included), so cap the tables at 48 MB (~1.2M triangles
+# at K=8). Beyond this we fall back to the XLA traversal.
+VMEM_TABLE_LIMIT_BYTES = 48 * 1024 * 1024
 
 
 class PathState(NamedTuple):
@@ -47,16 +49,17 @@ def _use_packet_kernel(scene) -> bool:
         return False
     if jax.default_backend() != "tpu":
         return False  # Mosaic kernel; CPU tests use the XLA twin
-    return scene.bvh_nodes.size * 4 <= VMEM_TABLE_LIMIT_BYTES
+    table_bytes = (scene.bvh_children.size + scene.bvh_leaves.size) * 4
+    return table_bytes <= VMEM_TABLE_LIMIT_BYTES
 
 
 def intersect_scene(scene, o: V3, d: V3,
                     active: jnp.ndarray | None = None) -> Hit:
     if _use_packet_kernel(scene):
         from sycl_ray_tracer_tpu.ops.traverse_pallas import traverse_packets
-        return traverse_packets(scene.bvh_nodes, scene.bvh_ni,
-                                scene.bvh_depth, scene.leaf_size,
-                                o, d, active=active)
+        return traverse_packets(scene.bvh_children, scene.bvh_leaves,
+                                scene.bvh_ni, scene.bvh_depth,
+                                scene.leaf_size, o, d, active=active)
     return traverse8(scene.bvh_nodes, scene.bvh_ni,
                      scene.bvh_depth, scene.leaf_size,
                      o, d, active_in=active)

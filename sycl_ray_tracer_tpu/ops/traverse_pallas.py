@@ -53,7 +53,7 @@ PACKET = PACKET_ROWS * 128
 _STACK = 128           # shared stack slots (worst case depth*7 + slack)
 
 
-def _packet_kernel(nodes_ref,
+def _packet_kernel(children_ref, leaves_ref,
                    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                    act_ref,
                    t_ref, tri_ref, u_ref, v_ref,
@@ -102,16 +102,21 @@ def _packet_kernel(nodes_ref,
 
         def leaf_case(args):
             sp, t_best, tri_best, ub, vb = args
+            # Leaf rows store only the REAL (non-padding) leaves:
+            # padding leaves carry point-at-infinity parent boxes and
+            # are never visited, so the clamp below never selects a
+            # wrong row for a visited node.
+            leaf = jnp.minimum(node - ni, leaves_ref.shape[0] - 1)
             for j in range(k):
-                v0x = nodes_ref[node, 0 * k + j]
-                v0y = nodes_ref[node, 1 * k + j]
-                v0z = nodes_ref[node, 2 * k + j]
-                e1x = nodes_ref[node, 3 * k + j]
-                e1y = nodes_ref[node, 4 * k + j]
-                e1z = nodes_ref[node, 5 * k + j]
-                e2x = nodes_ref[node, 6 * k + j]
-                e2y = nodes_ref[node, 7 * k + j]
-                e2z = nodes_ref[node, 8 * k + j]
+                v0x = leaves_ref[leaf, 0 * k + j]
+                v0y = leaves_ref[leaf, 1 * k + j]
+                v0z = leaves_ref[leaf, 2 * k + j]
+                e1x = leaves_ref[leaf, 3 * k + j]
+                e1y = leaves_ref[leaf, 4 * k + j]
+                e1z = leaves_ref[leaf, 5 * k + j]
+                e2x = leaves_ref[leaf, 6 * k + j]
+                e2y = leaves_ref[leaf, 7 * k + j]
+                e2z = leaves_ref[leaf, 8 * k + j]
                 px = dy * e2z - dz * e2y
                 py = dz * e2x - dx * e2z
                 pz = dx * e2y - dy * e2x
@@ -145,13 +150,14 @@ def _packet_kernel(nodes_ref,
             # visit front-to-back.
             hits = []
             ranks = []
+            nd = jnp.minimum(node, ni - 1)
             for j in range(8):
-                lox = nodes_ref[node, 0 * 8 + j]
-                loy = nodes_ref[node, 1 * 8 + j]
-                loz = nodes_ref[node, 2 * 8 + j]
-                hix = nodes_ref[node, 3 * 8 + j]
-                hiy = nodes_ref[node, 4 * 8 + j]
-                hiz = nodes_ref[node, 5 * 8 + j]
+                lox = children_ref[nd, 0 * 8 + j]
+                loy = children_ref[nd, 1 * 8 + j]
+                loz = children_ref[nd, 2 * 8 + j]
+                hix = children_ref[nd, 3 * 8 + j]
+                hiy = children_ref[nd, 4 * 8 + j]
+                hiz = children_ref[nd, 5 * 8 + j]
                 t1x = (lox - ox) * ix
                 t2x = (hix - ox) * ix
                 t1y = (loy - oy) * iy
@@ -201,11 +207,17 @@ def _packet_kernel(nodes_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("ni", "depth", "leaf_size"))
-def traverse_packets(nodes: jnp.ndarray, ni: int, depth: int,
+def traverse_packets(children: jnp.ndarray, leaves: jnp.ndarray,
+                     ni: int, depth: int,
                      leaf_size: int, o: V3, d: V3,
                      active: jnp.ndarray | None = None) -> Hit:
-    """Packetized closest-hit traversal. o/d: V3 of [R]; R padded to a
-    PACKET multiple internally. Returns Hit like wbvh.traverse8."""
+    """Packetized closest-hit traversal.
+
+    children: [NI, 48] packed children AABBs; leaves: [L_real, 9K]
+    packed triangles for the REAL leaves only (no heap padding) — the
+    split keeps VMEM occupancy proportional to scene size, not to the
+    8^depth padded heap. o/d: V3 of [R]; R padded to a PACKET multiple
+    internally. Returns Hit like wbvh.traverse8."""
     r = o.x.shape[0]
     pad = (-r) % PACKET
     rp = r + pad
@@ -234,13 +246,14 @@ def traverse_packets(nodes: jnp.ndarray, ni: int, depth: int,
     t, tri, u, v = pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] + [ray_spec] * 7,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+        + [ray_spec] * 7,
         out_specs=[ray_spec] * 4,
         out_shape=out_shape,
         scratch_shapes=[pltpu.SMEM((_STACK,), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(nodes, *args)
+    )(children, leaves, *args)
 
     flat = lambda a: a.reshape(rp)[:r]
     return Hit(t=flat(t), tri=flat(tri), u=flat(u), v=flat(v))

@@ -46,13 +46,19 @@ _INF = np.float32(3.0e38)
 
 
 class Wbvh8(NamedTuple):
-    """nodes: [NI + L, W] unified rows (W = max(48, 9K)).
-    Internal row i (i < NI): [lox*8|loy*8|loz*8|hix*8|hiy*8|hiz*8], pad.
-    Leaf row NI+j: [v0x*K|v0y*K|v0z*K|e1x*K|...|e2z*K], pad.
+    """nodes: [NI + L, W] unified rows (W = max(48, 9K)) for the XLA
+    traversal — internal row i (i < NI) packs the 8 children AABBs
+    component-major, leaf row NI+j packs K triangles component-major.
+    children/leaves are the SPLIT tables for the Pallas kernel:
+    children [NI, 48] and leaves [ceil(n/K), 9K] — leaves hold only the
+    REAL (non-padding) heap leaves, keeping VMEM occupancy proportional
+    to scene size instead of the 8^depth padded heap.
     order: [L*K] int32 — sorted slot -> original triangle id (-1 pad).
     """
 
     nodes: jnp.ndarray
+    children: jnp.ndarray
+    leaves: jnp.ndarray
     order: jnp.ndarray
     num_internal: int
     depth: int
@@ -135,6 +141,7 @@ def build(tri_v: jnp.ndarray, leaf_size: int = 8):
         bh8 = bh.reshape(8 ** d, 8, 3).transpose(0, 2, 1).reshape(-1, 24)
         blocks.append(jnp.concatenate([bl8, bh8], axis=1))  # [8^d, 48]
     internal = jnp.concatenate(blocks, axis=0)
+    children_split = internal
     if width > 48:
         internal = jnp.pad(internal, ((0, 0), (0, width - 48)))
 
@@ -146,12 +153,16 @@ def build(tri_v: jnp.ndarray, leaf_size: int = 8):
     # [L, K, 9] -> [L, 9, K] -> [L, 9K]
     leaf_rows = comps.reshape(l_leaves, k, 9).transpose(0, 2, 1).reshape(
         l_leaves, 9 * k)
+    # real (non-padding) leaves occupy the heap-leaf prefix
+    l_real = max(-(-n // k), 1)
+    leaves_split = leaf_rows[:l_real]
     if width > 9 * k:
         leaf_rows = jnp.pad(leaf_rows, ((0, 0), (0, width - 9 * k)))
 
     nodes = jnp.concatenate([internal, leaf_rows], axis=0)
-    return Wbvh8(nodes=nodes, order=order, num_internal=ni, depth=depth,
-                 leaf_size=k), sorted_v, valid
+    return Wbvh8(nodes=nodes, children=children_split,
+                 leaves=leaves_split, order=order, num_internal=ni,
+                 depth=depth, leaf_size=k), sorted_v, valid
 
 
 def _lowest_bit_index(m: jnp.ndarray) -> jnp.ndarray:

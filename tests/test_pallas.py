@@ -12,7 +12,7 @@ from sycl_ray_tracer_tpu.ops.intersect import intersect_brute_np
 from sycl_ray_tracer_tpu.ops.vec import V3
 
 
-def _traverse_interpret(nodes, ni, depth, k, o, d, active=None):
+def _traverse_interpret(children, leaves, ni, depth, k, o, d, active=None):
     import sycl_ray_tracer_tpu.ops.traverse_pallas as TP
     from jax.experimental import pallas as pl
 
@@ -24,7 +24,8 @@ def _traverse_interpret(nodes, ni, depth, k, o, d, active=None):
 
     TP.pl.pallas_call = patched
     try:
-        return TP.traverse_packets(nodes, ni, depth, k, o, d, active=active)
+        return TP.traverse_packets(children, leaves, ni, depth, k, o, d,
+                                   active=active)
     finally:
         TP.pl.pallas_call = orig
 
@@ -42,7 +43,7 @@ def test_packet_kernel_matches_brute(rs):
     o = V3(*(jnp.asarray(o_np[:, i]) for i in range(3)))
     d = V3(*(jnp.asarray(d_np[:, i]) for i in range(3)))
 
-    hit = _traverse_interpret(bvh.nodes, ni, depth, k, o, d)
+    hit = _traverse_interpret(bvh.children, bvh.leaves, ni, depth, k, o, d)
     t_b, id_b, _, _ = intersect_brute_np(o_np, d_np, np.asarray(sorted_v))
     id1 = np.asarray(hit.tri)
     t1 = np.asarray(hit.t)
@@ -65,7 +66,8 @@ def test_packet_kernel_active_mask(rs):
     o = V3(jnp.zeros(r), jnp.zeros(r), jnp.full(r, 8.0))
     d = V3(jnp.zeros(r), jnp.zeros(r), jnp.full(r, -1.0))
     active = jnp.asarray(np.arange(r) % 2 == 0)
-    hit = _traverse_interpret(bvh.nodes, ni, depth, k, o, d, active=active)
+    hit = _traverse_interpret(bvh.children, bvh.leaves, ni, depth, k, o, d,
+                              active=active)
     tri_ids = np.asarray(hit.tri)
     assert (tri_ids[1::2] == -1).all()          # inactive lanes untouched
     assert (tri_ids[0::2] >= 0).all()           # active lanes hit
