@@ -7,11 +7,11 @@ lanes). The TPU's fast paths are (a) VMEM (~20x HBM bandwidth) and
 exist, and Mosaic's in-register gather only shuffles within 128 lanes —
 so per-ray divergent traversal is off the table. What IS native:
 
-  PACKET traversal. 1024 rays = one (8, 128) register set. The packet
+  PACKET traversal. 2048 rays = one (16, 128) register set. The packet
   walks the WBVH8 (ops/wbvh.py) with a single shared scalar stack in
   SMEM; every visited node is one scalar-indexed VMEM row read whose
-  8 child slab tests and K triangle tests run densely over all 1024
-  rays at full VPU width. A node is visited if ANY ray in the packet
+  8 child slab tests and K triangle tests run densely over the whole
+  packet at full VPU width. A node is visited if ANY ray in the packet
   wants it (vector -> scalar reduction), so packet cost is the UNION
   of member rays' visit sets — near-1x for coherent camera packets,
   degrading gracefully for incoherent bounce packets.
@@ -20,8 +20,10 @@ Children are pushed far-to-near using the packet's dominant octant
 (child-index bits ARE octant bits in the WBVH8, see ops/wbvh.py), so
 LIFO pops visit front-to-back and t_best culls most of the far set.
 
-The scene's unified node table must fit in VMEM (~10.8 MB for 250K
-triangles at K=8); larger scenes fall back to the XLA traversal.
+The scene's split tables (children [NI, 48] + real leaves
+[ceil(N/K), 9K]) must fit in VMEM — up to ~1.1M triangles at K=8
+given the measured ~50-64 MB compile ceiling; larger scenes fall back
+to the XLA traversal.
 
 This fills the role of the reference's rtcIntersect1 (trace_ray.hpp:22):
 one intersector under both renderers.
