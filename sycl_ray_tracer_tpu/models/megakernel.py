@@ -35,7 +35,7 @@ from sycl_ray_tracer_tpu.ops.vec import linear_to_gamma, splat
 
 
 def _sample_one(scene, cam: Camera, px, py, lane, sample_idx, seed,
-                max_depth: int, rays, active=None):
+                max_depth: int, rays, active=None, rr: bool = False):
     """Render one sample for every listed pixel; returns (color V3,
     updated per-bounce ray tallies)."""
     key = _rng.make_key(
@@ -59,7 +59,8 @@ def _sample_one(scene, cam: Camera, px, py, lane, sample_idx, seed,
     def body(carry):
         i, st, rays = carry
         rays = rays.at[i].add(jnp.sum((~st.done).astype(jnp.int32)))
-        st = _trace.trace_step(scene, st, key, i + 2)  # counters 0,1 = jitter
+        st = _trace.trace_step(scene, st, key, i + 2,  # counters 0,1 = jitter
+                               rr=rr, bounce_idx=i)
         return (i + 1, st, rays)
 
     _, state, rays = jax.lax.while_loop(cond, body, (jnp.int32(0), state, rays))
@@ -75,7 +76,7 @@ CHUNK = 1 << 20
 
 def accumulate_megakernel(scene, cam: Camera, px, py, lane, *,
                           spp: int, max_depth: int, seed,
-                          sample_offset=0):
+                          sample_offset=0, rr: bool = False):
     """Linear-space accumulation over `spp` samples for the given pixel
     lanes. Returns (accum [R, 3] float32 — the SUM over samples, not the
     mean — and per-bounce ray counts [max_depth] int32)."""
@@ -100,7 +101,7 @@ def accumulate_megakernel(scene, cam: Camera, px, py, lane, *,
             (ax, ay, az), rays = carry
             color, rays = _sample_one(
                 scene, cam, cpx, cpy, clane, s + sample_offset, seed,
-                max_depth, rays, active=cvalid)
+                max_depth, rays, active=cvalid, rr=rr)
             return (ax + color.x, ay + color.y, az + color.z), rays
 
         zero = jnp.zeros((c,), jnp.float32)
@@ -114,21 +115,22 @@ def accumulate_megakernel(scene, cam: Camera, px, py, lane, *,
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height",
-                                             "max_depth"))
+                                             "max_depth", "rr"))
 def _one_sample_frame(scene, cam: Camera, seed, sample_offset, *,
-                      width: int, height: int, max_depth: int):
+                      width: int, height: int, max_depth: int,
+                      rr: bool = False):
     n = width * height
     lane = jnp.arange(n, dtype=jnp.uint32)  # linear ray id, camera.hpp:120-122
     px = (lane % jnp.uint32(width)).astype(jnp.int32)
     py = (lane // jnp.uint32(width)).astype(jnp.int32)
     return accumulate_megakernel(scene, cam, px, py, lane, spp=1,
                                  max_depth=max_depth, seed=seed,
-                                 sample_offset=sample_offset)
+                                 sample_offset=sample_offset, rr=rr)
 
 
 def render_megakernel(scene, cam: Camera, *, width: int, height: int,
-                      spp: int, max_depth: int,
-                      seed: int = 0) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                      spp: int, max_depth: int, seed: int = 0,
+                      rr: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (image [H, W, 3] float32 gamma-encoded,
     per-bounce ray counts [max_depth] int32 — sum on host for total).
 
@@ -139,7 +141,7 @@ def render_megakernel(scene, cam: Camera, *, width: int, height: int,
     rays = None
     for s in range(spp):
         a, r = _one_sample_frame(scene, cam, seed, s, width=width,
-                                 height=height, max_depth=max_depth)
+                                 height=height, max_depth=max_depth, rr=rr)
         accum = a if accum is None else accum + a
         rays = r if rays is None else rays + r
     img = linear_to_gamma(accum * (1.0 / spp))

@@ -49,8 +49,12 @@ def _sample_texture_np(textures, tex, u, v):
 
 
 def render_oracle(host: HostScene, cam: Camera, *, width: int, height: int,
-                  spp: int, max_depth: int, seed: int = 0) -> np.ndarray:
-    """Returns gamma-encoded [H, W, 3] float32 image."""
+                  spp: int, max_depth: int, seed: int = 0,
+                  rr: bool = False) -> np.ndarray:
+    """Returns gamma-encoded [H, W, 3] float32 image. rr enables
+    russian-roulette termination, mirroring trace.rr_survive bit-for-bit
+    (BASELINE config 3)."""
+    from sycl_ray_tracer_tpu.models.trace import RR_FLOOR, RR_START
     n = width * height
     lane = np.arange(n, dtype=_U32)
     px = (lane % _U32(width)).astype(np.int32)
@@ -153,6 +157,20 @@ def render_oracle(host: HostScene, cam: Camera, *, width: int, height: int,
             ai = hi[~cont]
             result[ai] = att[ai] * rad[ai]
             done[ai] = True
+
+            if rr and bounce >= RR_START:
+                new_att = att[hi] * atten
+                p = np.clip(new_att.max(axis=1), RR_FLOOR, 1.0)
+                with np.errstate(over="ignore"):
+                    u = _rng.uniform_np(keyh, ctr + _U32(0x33333333))
+                survive = u < p
+                killed = cont & ~survive
+                ki = hi[killed]
+                result[ki] = att[ki] * rad[ki]
+                done[ki] = True
+                cont = cont & survive
+                # x * (1/p), matching trace.rr_survive's rounding
+                atten = atten * (1.0 / p)[:, None]
 
             si = hi[cont]
             o[si] = o[si] + d[si] * th[cont]

@@ -65,8 +65,34 @@ def intersect_scene(scene, o: V3, d: V3,
                      o, d, active_in=active)
 
 
+# Russian roulette starts at this bounce (rr=True paths only) and
+# clamps survival probability to at least this floor.
+RR_START = 3
+RR_FLOOR = 0.05
+
+
+def rr_survive(att, key, counter):
+    """Russian-roulette survival: (survive_mask, scaled_att).
+
+    Survival probability = max throughput component (clamped); the
+    survivor's throughput is scaled by 1/p, keeping the estimator
+    unbiased. Extension over the reference (which never terminates
+    early); required by BASELINE config 3.
+    """
+    from sycl_ray_tracer_tpu.ops import rng as _rng
+
+    p = jnp.clip(jnp.maximum(att.x, jnp.maximum(att.y, att.z)),
+                 RR_FLOOR, 1.0)
+    u = _rng.uniform(key, jnp.asarray(counter, jnp.uint32)
+                     + jnp.uint32(0x33333333))
+    survive = u < p
+    inv_p = 1.0 / p
+    return survive, V3(att.x * inv_p, att.y * inv_p, att.z * inv_p)
+
+
 def trace_step(scene, state: PathState, key: jnp.ndarray,
-               bounce_counter) -> PathState:
+               bounce_counter, rr: bool = False,
+               bounce_idx=None) -> PathState:
     """Advance every non-done lane by one path vertex."""
     o, d, att, rad = state.o, state.d, state.att, state.rad
     live = ~state.done
@@ -105,14 +131,26 @@ def trace_step(scene, state: PathState, key: jnp.ndarray,
     term_miss = live & miss
     term_abs = hit_m & ~cont
 
+    new_att_s = att * s_att
+    if rr:
+        bi = bounce_counter - 2 if bounce_idx is None else bounce_idx
+        survive, att_rr = rr_survive(new_att_s, key, bounce_counter)
+        apply_rr = scat_m & (jnp.asarray(bi, jnp.int32) >= RR_START)
+        term_rr = apply_rr & ~survive
+        scat_m = scat_m & ~term_rr
+        new_att_s = where(apply_rr & survive, att_rr, new_att_s)
+    else:
+        term_rr = jnp.zeros_like(term_abs)
+
     new_o = where(scat_m, o + d * hit.t, o)
     new_d = where(scat_m, new_dir, d)
-    new_att = where(scat_m, att * s_att, att)
+    new_att = where(scat_m, new_att_s, att)
     new_rad = where(scat_m, rad_hit, rad)
 
+    # an RR kill contributes like an absorb: att * radiance-so-far
     result = where(term_miss, res_miss,
-                   where(term_abs, res_absorb, state.result))
-    done = state.done | term_miss | term_abs
+                   where(term_abs | term_rr, res_absorb, state.result))
+    done = state.done | term_miss | term_abs | term_rr
 
     return PathState(o=new_o, d=new_d, att=new_att, rad=new_rad,
                      result=result, done=done)

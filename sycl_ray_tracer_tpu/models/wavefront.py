@@ -81,7 +81,8 @@ def _coherence_key(scene, o: V3, d: V3) -> jnp.ndarray:
     return (oct_ << jnp.uint32(27)) | m
 
 
-def _bounce(scene, key_lane, carry, bounce_idx, capacity):
+def _bounce(scene, key_lane, carry, bounce_idx, capacity,
+            rr: bool = False):
     """One wavefront iteration over the live queue prefix."""
     (q_ox, q_oy, q_oz, q_dx, q_dy, q_dz,
      q_ar, q_ag, q_ab, q_rr, q_rg, q_rb, q_id, count, acc, rays) = carry
@@ -121,7 +122,17 @@ def _bounce(scene, key_lane, carry, bounce_idx, capacity):
                                         uv_u, uv_v, key, bounce_idx + 2)
     res_absorb = att * rad_hit
 
-    terminated = in_q & (miss | ~cont)
+    new_att_full = att * s_att
+    if rr:
+        from sycl_ray_tracer_tpu.models.trace import RR_START, rr_survive
+        survive, att_rr = rr_survive(new_att_full, key, bounce_idx + 2)
+        apply_rr = (jnp.asarray(bounce_idx, jnp.int32) >= RR_START)
+        term_rr = in_q & ~miss & cont & apply_rr & ~survive
+        new_att_full = where(apply_rr & survive, att_rr, new_att_full)
+    else:
+        term_rr = jnp.zeros_like(miss)
+
+    terminated = in_q & (miss | ~cont | term_rr)
     contrib = where(in_q & miss, res_miss, res_absorb)
     # Pixel = ray id mod accumulator length (ids above it are extra
     # sample waves of the same frame); drop slot = acc length, NOT
@@ -132,9 +143,9 @@ def _bounce(scene, key_lane, carry, bounce_idx, capacity):
     acc = acc.at[pix, 1].add(contrib.y, mode="drop")
     acc = acc.at[pix, 2].add(contrib.z, mode="drop")
 
-    alive = in_q & ~miss & cont
+    alive = in_q & ~miss & cont & ~term_rr
     new_o = o + d * hit.t
-    new_att = att * s_att
+    new_att = new_att_full
     import os as _os
     sort_key = (None if _os.environ.get("SRT_NO_SORT")
                 else _coherence_key(scene, new_o, new_dir))
@@ -163,7 +174,7 @@ CHUNK = 1 << 20
 
 def accumulate_wavefront(scene, cam: Camera, px, py, lane, *,
                          spp: int, max_depth: int, seed,
-                         sample_offset=0):
+                         sample_offset=0, rr: bool = False):
     """Linear-space accumulation (sum over samples) for explicit pixel
     lanes. `lane` is the GLOBAL ray id (uint32) used for RNG keying;
     queue ids index the local accumulator. Returns (accum [R, 3],
@@ -212,7 +223,7 @@ def accumulate_wavefront(scene, cam: Camera, px, py, lane, *,
 
             def body(cr):
                 bounce, st = cr
-                st = _bounce(scene, key_lane, st, bounce, c)
+                st = _bounce(scene, key_lane, st, bounce, c, rr=rr)
                 return bounce + 1, st
 
             _, state = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
@@ -258,22 +269,23 @@ def _gen_queue(scene, cam: Camera, seed, sample_offset, *, width: int,
     return key_lane, state
 
 
-@functools.partial(jax.jit, static_argnames=("capacity",),
+@functools.partial(jax.jit, static_argnames=("capacity", "rr"),
                    donate_argnums=(1,))
-def _bounce_step(scene, state, key_lane, bounce_idx, *, capacity: int):
+def _bounce_step(scene, state, key_lane, bounce_idx, *, capacity: int,
+                 rr: bool = False):
     """shoot_rays stage (render_wavefront.cpp:139-314) as ONE device
     program per bounce. The queue length returns to the host between
     bounces — the same bounce-synchronous structure as the reference's
     shared-USM readback (render_wavefront.cpp:144), except the whole
     queue state stays on device."""
     st = state[:15] + (jnp.zeros((1,), jnp.int32),)
-    out = _bounce(scene, key_lane, st, bounce_idx, capacity)
+    out = _bounce(scene, key_lane, st, bounce_idx, capacity, rr=rr)
     return out
 
 
 def render_wavefront(scene, cam: Camera, *, width: int, height: int,
-                     spp: int, max_depth: int,
-                     seed: int = 0) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                     spp: int, max_depth: int, seed: int = 0,
+                     rr: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (image [H, W, 3] float32 gamma-encoded,
     per-bounce ray counts [max_depth] int32).
 
@@ -322,7 +334,7 @@ def render_wavefront(scene, cam: Camera, *, width: int, height: int,
             if state[0].shape[0] != b:
                 state = tuple(a[:b] for a in state[:13]) + state[13:]
             state = _bounce_step(scene, state, key_lane, bounce,
-                                 capacity=b)
+                                 capacity=b, rr=rr)
             count = int(state[13])
             if profile:
                 print(f"[profile] wave@{s}x{w} bounce {bounce}: "

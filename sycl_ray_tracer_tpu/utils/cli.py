@@ -41,6 +41,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--width", type=int, default=1920)
     p.add_argument("--height", type=int, default=1080)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--rr", action="store_true",
+                   help="russian-roulette path termination (unbiased; "
+                        "extension over the reference)")
     p.add_argument("-o", "--output", default="out.png")
     p.add_argument("--devices", type=int, default=1,
                    help="shard samples over this many devices")
@@ -104,6 +107,8 @@ def main(argv=None) -> int:
     kw = dict(width=args.width, height=args.height,
               spp=args.sample_count, max_depth=args.max_depth,
               seed=args.seed)
+    if args.rr:
+        kw["rr"] = True
 
     renderer_name = "megakernel" if use_megakernel else "wavefront"
     if args.devices > 1:

@@ -85,6 +85,28 @@ def test_dielectric_16spp():
     assert rmse(m, w) < 1e-6
 
 
+def test_dielectric_russian_roulette():
+    # BASELINE config 3 calls for russian-roulette bounces: both
+    # engines and the oracle share the RR stream bit-for-bit, and RR
+    # must actually kill paths (fewer rays than the plain run).
+    glb = scenes.dielectric_scene_glb(subdiv=1)
+    scene, host, cam = scenes.load_pair(glb, 64, 64)
+    kw = dict(width=64, height=64, spp=16, max_depth=12, seed=0)
+    m, mrays = render_megakernel(scene, cam, rr=True, **kw)
+    w, wrays = render_wavefront(scene, cam, rr=True, **kw)
+    o = render_oracle(host, cam, rr=True, **kw)
+    m, w = np.asarray(m), np.asarray(w)
+    check_oracle_match(m, o)
+    check_oracle_match(w, o)
+    assert rmse(m, w) < 1e-6
+    assert np.asarray(mrays).sum() == np.asarray(wrays).sum()
+    _, mrays_plain = render_megakernel(scene, cam, **kw)
+    assert np.asarray(mrays).sum() < np.asarray(mrays_plain).sum()
+    # unbiased: same signal as the non-RR estimator within MC noise
+    m_plain, _ = render_megakernel(scene, cam, **kw)
+    assert abs(m.mean() - np.asarray(m_plain).mean()) < 0.02
+
+
 def test_textured():
     m, _, w, _, o = _render_all(
         scenes.textured_scene_glb(), 64, 64, spp=4, max_depth=4)
