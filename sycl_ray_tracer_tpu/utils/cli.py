@@ -44,6 +44,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--rr", action="store_true",
                    help="russian-roulette path termination (unbiased; "
                         "extension over the reference)")
+    p.add_argument("--scale", type=float, nargs=3, default=(1.0, 1.0, 1.0),
+                   metavar=("SX", "SY", "SZ"),
+                   help="global scene scale (Scene ctor's global_scale)")
     p.add_argument("-o", "--output", default="out.png")
     p.add_argument("--devices", type=int, default=1,
                    help="shard samples over this many devices")
@@ -98,7 +101,8 @@ def main(argv=None) -> int:
     from sycl_ray_tracer_tpu.utils.gltf import load_glb
     from sycl_ray_tracer_tpu.utils.image_io import write_png
 
-    host = load_glb(resolve_scene_bytes(args.scene_path))
+    host = load_glb(resolve_scene_bytes(args.scene_path),
+                    global_scale=tuple(args.scale))
     print(f"Triangles: {host.num_triangles}")
     scene = build_device_scene(host)
     cam = make_camera(args.width, args.height, host.camera_position,
