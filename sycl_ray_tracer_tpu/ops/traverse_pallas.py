@@ -46,11 +46,12 @@ import os
 
 # Rays per packet: one (ROWS, 128) register set. Bigger packets
 # amortize per-visit scalar overhead; smaller packets shrink the
-# union of per-ray visit sets. Measured on v5e (sponza_proc, full
-# wavefront sample): 8 rows 7.6s, 16 rows 6.5s, 64 rows 7.8s ->
-# 16 rows (2048 rays) is the sweet spot. Must be a multiple of 8
-# (f32 sublane tile). Override with SRT_PACKET_ROWS for experiments.
-PACKET_ROWS = int(os.environ.get("SRT_PACKET_ROWS", "16"))
+# union of per-ray visit sets. The optimum grows with the sorted-pool
+# size: measured on v5e sponza_proc 1024x1024 spp8 with 8M-ray waves,
+# 16 rows 1.24 / 32 rows 1.34 Mrays/s (at 1M-ray waves 16 rows won).
+# Must be a multiple of 8 (f32 sublane tile). Override with
+# SRT_PACKET_ROWS for experiments.
+PACKET_ROWS = int(os.environ.get("SRT_PACKET_ROWS", "32"))
 PACKET = PACKET_ROWS * 128
 _STACK = 128           # shared stack slots (worst case depth*7 + slack)
 
