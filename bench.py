@@ -18,7 +18,7 @@ import os
 import sys
 import time
 
-SPP = int(os.environ.get("BENCH_SPP", 8))
+SPP = int(os.environ.get("BENCH_SPP", 16))
 DEPTH = int(os.environ.get("BENCH_DEPTH", 10))
 RES = int(os.environ.get("BENCH_RES", 1024))
 RUNS = int(os.environ.get("BENCH_RUNS", 2))

@@ -305,10 +305,10 @@ def render_wavefront(scene, cam: Camera, *, width: int, height: int,
     combined = None
     rays = np.zeros((max_depth,), np.int64)
 
-    # Batch samples into waves of up to ~8M rays per queue (measured:
-    # 1M waves 0.88, 2M 1.02, 4M 1.16, 8M 1.24 Mrays/s on v5e;
-    # override with SRT_WAVE_RAYS).
-    wave_rays = int(os.environ.get("SRT_WAVE_RAYS", str(8 << 20)))
+    # Batch samples into waves of up to ~16M rays per queue (measured
+    # on v5e at 1024x1024: 1M waves 0.88, 2M 1.02, 4M 1.16, 8M 1.35,
+    # 16M 1.41 Mrays/s; override with SRT_WAVE_RAYS).
+    wave_rays = int(os.environ.get("SRT_WAVE_RAYS", str(16 << 20)))
     waves = max(1, min(spp, wave_rays // n))
 
     def bucket_of(c, cap):
