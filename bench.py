@@ -56,8 +56,11 @@ def main():
         jax.block_until_ready((img, rays))
         return img, int(np.asarray(rays).astype(np.int64).sum())
 
-    # warm-up (compile) — discarded like the reference's run 0
-    run(0)
+    # warm-up (compile) — discarded like the reference's run 0. Seeded
+    # OUTSIDE the measured range: the runtime memoizes back-to-back
+    # identical executions, so warming up with seed 0 and then timing
+    # seed 0 would record a memoized (fantasy) first run.
+    run(RUNS)
 
     rates = []
     for i in range(RUNS):

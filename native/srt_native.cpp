@@ -270,8 +270,10 @@ struct AccessorView {
   int ncomp = 0;
   int ctype = 0;
   size_t stride = 0;
+  bool ok = true;  // false when the byte range fell outside the BIN chunk
 
   double get(size_t i, int c) const {
+    if (!data || i >= count) return 0;  // bounds-checked: see accessor()
     const uint8_t* e = data + i * stride;
     switch (ctype) {
       case 5120: return ((const int8_t*)e)[c];
@@ -316,7 +318,18 @@ AccessorView accessor(const Json& gltf, const uint8_t* bin, size_t bin_len,
   size_t tight = (size_t)v.ncomp * comp_size(v.ctype);
   v.stride = view.has("byteStride") ? (size_t)view["byteStride"].dnum(tight)
                                     : tight;
-  if (off < bin_len) v.data = bin + off;
+  // Validate the FULL range the accessor will read (a truncated or
+  // malformed .glb must not read out of bounds): the last element
+  // starts at off + stride*(count-1) and spans `tight` bytes.
+  if (v.count > 0 && off <= bin_len &&
+      v.stride * (v.count - 1) <= bin_len - off &&
+      tight <= bin_len - off - v.stride * (v.count - 1)) {
+    v.data = bin + off;
+  } else {
+    v.data = nullptr;
+    v.count = 0;
+    v.ok = false;
+  }
   return v;
 }
 
@@ -420,9 +433,16 @@ void load_node(const Json& gltf, const uint8_t* bin, size_t bin_len,
         uv = accessor(gltf, bin, bin_len, attrs["TEXCOORD_0"].inum(0));
 
       std::vector<uint32_t> idx;
+      AccessorView ia{};
+      if (prim.has("indices"))
+        ia = accessor(gltf, bin, bin_len, prim["indices"].inum(0));
+      if (!pos.ok || !nrm.ok || !uv.ok || !ia.ok) {
+        // Malformed/truncated GLB: error out so the caller falls back
+        // to the Python loader, which raises cleanly.
+        s->error = "accessor byte range exceeds BIN chunk";
+        return;
+      }
       if (prim.has("indices")) {
-        AccessorView ia = accessor(gltf, bin, bin_len,
-                                   prim["indices"].inum(0));
         idx.resize(ia.count);
         for (size_t i = 0; i < ia.count; i++)
           idx[i] = (uint32_t)ia.get(i, 0);

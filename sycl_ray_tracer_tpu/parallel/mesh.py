@@ -47,8 +47,9 @@ def make_mesh(dp: Optional[int] = None, sp: int = 1,
 def render_sharded(scene, cam: Camera, *, width: int, height: int,
                    spp: int, max_depth: int, seed: int = 0,
                    mesh: Optional[Mesh] = None,
-                   renderer: str = "wavefront") -> Tuple[jnp.ndarray,
-                                                         jnp.ndarray]:
+                   renderer: str = "wavefront",
+                   rr: bool = False) -> Tuple[jnp.ndarray,
+                                              jnp.ndarray]:
     """Sharded render. Returns (image [H, W, 3] gamma-encoded,
     per-bounce ray counts [max_depth] int32, summed over all shards)."""
     if mesh is None:
@@ -71,7 +72,7 @@ def render_sharded(scene, cam: Camera, *, width: int, height: int,
         accum, rays = accumulate(
             scene, cam, px, py, lane,
             spp=spp_local, max_depth=max_depth, seed=seed,
-            sample_offset=dpi * spp_local)
+            sample_offset=dpi * spp_local, rr=rr)
         accum = jax.lax.psum(accum, "dp")
         rays = jax.lax.psum(rays, ("dp", "sp"))
         return accum, rays

@@ -25,11 +25,14 @@ import sys
 import time
 
 
+DEFAULT_SCENE = "./assets/sponza.glb"
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="sycl_ray_tracer_tpu",
         description="TPU-native Monte-Carlo path tracer")
-    p.add_argument("scene_path", nargs="?", default="./assets/sponza.glb",
+    p.add_argument("scene_path", nargs="?", default=DEFAULT_SCENE,
                    help="path to .glb, or a procedural name: sponza_proc, "
                         "minecraft_proc, triangle, cube, dielectric")
     p.add_argument("-d", "--max-depth", type=int, default=10)
@@ -68,6 +71,14 @@ def resolve_scene_bytes(scene_path: str):
     if scene_path in named:
         return named[scene_path]()
     if not os.path.exists(scene_path):
+        # The reference's default is ./assets/sponza.glb, an asset it
+        # does not ship (.gitignore:4). So a bare invocation works out
+        # of the box, the un-overridden default falls back to the
+        # procedural Sponza stand-in instead of erroring.
+        if scene_path == DEFAULT_SCENE:
+            print(f"note: {scene_path} not found; using procedural "
+                  f"stand-in 'sponza_proc'")
+            return procgen.sponza_like_glb()
         raise SystemExit(
             f"error: scene not found: {scene_path} "
             f"(procedural names: {', '.join(sorted(named))})")

@@ -61,6 +61,20 @@ def test_procedural_sponza():
     _compare(sponza_like_glb(scale=1))
 
 
+def test_truncated_glb_is_rejected_not_oob():
+    # regression (ADVICE round 1): a truncated BIN chunk used to pass
+    # the start-offset-only check and read out of bounds. The native
+    # loader must now reject it (accessor range validated against the
+    # BIN length) instead of segfaulting.
+    full = scenes.cube_scene_glb()
+    # chop the tail of the BIN chunk but keep the JSON chunk intact:
+    # the JSON chunk comes first, so removing trailing bytes truncates
+    # vertex/index data while the accessors still promise full counts
+    truncated = full[: len(full) - 256]
+    with pytest.raises(ValueError, match="accessor|parse|BIN|JSON"):
+        native_loader.load_glb_native(truncated)
+
+
 def test_reference_assets():
     import os
 
