@@ -31,9 +31,13 @@ class DeviceScene:
     # WBVH8 (ops/wbvh.py): unified node table — internal rows pack the
     # 8 children AABBs, leaf rows pack K triangles, component-major.
     bvh_nodes: jnp.ndarray  # [NI + L, max(48, 9K)] (XLA traversal)
-    # Split tables for the Pallas kernel (leaves = real rows only).
+    # Split tables for the v1 Pallas kernel (leaves = real rows only).
     bvh_children: jnp.ndarray  # [NI, 48]
     bvh_leaves: jnp.ndarray    # [ceil(N/K), 9K]
+    # Sublane-major tile tables for the v2 Pallas kernel
+    # (wbvh.pack_tiles_np / ops/traverse_pallas2.py).
+    bvh_ctiles: jnp.ndarray    # [ceil(NI/16), 8, 128]
+    bvh_ltiles: jnp.ndarray    # [ceil(L/8), 8, 128]
     # Shading data in sorted leaf order, padded to L*K rows.
     tri_n: jnp.ndarray     # [LK, 3, 3] unit shading normals (world)
     tri_uv: jnp.ndarray    # [LK, 3, 2]
@@ -51,6 +55,7 @@ class DeviceScene:
     scene_lo: jnp.ndarray      # [3] world bounds (for ray-sort Morton keys)
     scene_hi: jnp.ndarray      # [3]
     # Static config
+    has_tiles: bool = struct.field(pytree_node=False, default=False)
     leaf_size: int = struct.field(pytree_node=False, default=DEFAULT_LEAF_SIZE)
     bvh_depth: int = struct.field(pytree_node=False, default=1)
     bvh_ni: int = struct.field(pytree_node=False, default=1)
@@ -64,15 +69,43 @@ class DeviceScene:
 def build_device_scene(host: HostScene,
                        leaf_size: int = DEFAULT_LEAF_SIZE,
                        dtype=jnp.float32) -> DeviceScene:
-    """Upload + BVH-build a HostScene. The build itself is jax code and
-    runs on the accelerator (the TPU-native replacement for Embree's
-    rtcCommitScene, scene.cpp:107)."""
-    import jax
+    """Upload + BVH-build a HostScene.
 
-    tri_v = jnp.asarray(host.tri_v, dtype)
+    The build runs on the HOST in numpy (wbvh.build_np: a Morton sort
+    plus reshapes — milliseconds, the analog of Embree's sub-second
+    rtcCommitScene, scene.cpp:107). Round 1 built on-device under jit;
+    nearly all of its 128 s was XLA compile time (VERDICT round 1).
+    SRT_JIT_BUILD=1 restores the jitted on-device build.
+    """
+    import os
+
     depth, ni, _, _ = wbvh.plan(host.num_triangles, leaf_size)
-    bvh, sorted_v, valid = jax.jit(
-        lambda t: wbvh.build(t, leaf_size))(tri_v)
+    if os.environ.get("SRT_JIT_BUILD") == "1":
+        import jax
+
+        tri_v = jnp.asarray(host.tri_v, dtype)
+        bvh, sorted_v, valid = jax.jit(
+            lambda t: wbvh.build(t, leaf_size))(tri_v)
+        bvh = wbvh.Wbvh8(
+            nodes=np.asarray(bvh.nodes),
+            children=np.asarray(bvh.children),
+            leaves=np.asarray(bvh.leaves),
+            order=np.asarray(bvh.order),
+            num_internal=bvh.num_internal, depth=bvh.depth,
+            leaf_size=bvh.leaf_size)
+    else:
+        bvh, sorted_v, valid = wbvh.build_np(host.tri_v, leaf_size)
+    has_tiles = leaf_size == 8 and ni + 8 ** depth < (1 << 24)
+    if has_tiles:
+        child_ids = wbvh.heap_child_ids_np(ni)
+        ctiles, ltiles = wbvh.pack_tiles_np(
+            np.asarray(bvh.children), child_ids,
+            np.asarray(bvh.leaves), leaf_size)
+    else:
+        # tile layout requires K=8 and exact-f32 child ids; the v1
+        # kernel / XLA traversal serve these configurations
+        ctiles = np.zeros((1, 8, 128), np.float32)
+        ltiles = np.zeros((1, 8, 128), np.float32)
     order = np.asarray(bvh.order)
     safe = np.maximum(order, 0)
     validm = order >= 0
@@ -91,9 +124,12 @@ def build_device_scene(host: HostScene,
 
     m = host.materials
     return DeviceScene(
-        bvh_nodes=bvh.nodes,
-        bvh_children=bvh.children,
-        bvh_leaves=bvh.leaves,
+        bvh_nodes=jnp.asarray(bvh.nodes),
+        bvh_children=jnp.asarray(bvh.children),
+        bvh_leaves=jnp.asarray(bvh.leaves),
+        bvh_ctiles=jnp.asarray(ctiles),
+        bvh_ltiles=jnp.asarray(ltiles),
+        has_tiles=has_tiles,
         tri_n=jnp.asarray(tri_n), tri_uv=jnp.asarray(tri_uv),
         tri_mat=jnp.asarray(tri_mat),
         mat_type=jnp.asarray(m.mtype.astype(np.int32)),

@@ -44,18 +44,36 @@ class PathState(NamedTuple):
     done: jnp.ndarray  # bool
 
 
-def _use_packet_kernel(scene) -> bool:
-    if os.environ.get("SRT_FORCE_XLA_TRAVERSE"):
-        return False
+def _packet_kernel_version(scene) -> int:
+    """0 = XLA traversal, 1 = v1 packet kernel, 2 = v2 tile kernel."""
+    forced = os.environ.get("SRT_KERNEL")
+    if os.environ.get("SRT_FORCE_XLA_TRAVERSE") or forced == "xla":
+        return 0
     if jax.default_backend() != "tpu":
-        return False  # Mosaic kernel; CPU tests use the XLA twin
+        return 0  # Mosaic kernels; CPU tests use the XLA twin
+    if forced == "v1":
+        table_bytes = (scene.bvh_children.size
+                       + scene.bvh_leaves.size) * 4
+        return 1 if table_bytes <= VMEM_TABLE_LIMIT_BYTES else 0
+    # v2 tile tables exist only for leaf_size=8 scenes (scene.py)
+    if scene.has_tiles:
+        table_bytes = (scene.bvh_ctiles.size + scene.bvh_ltiles.size) * 4
+        if table_bytes <= VMEM_TABLE_LIMIT_BYTES:
+            return 2
     table_bytes = (scene.bvh_children.size + scene.bvh_leaves.size) * 4
-    return table_bytes <= VMEM_TABLE_LIMIT_BYTES
+    return 1 if table_bytes <= VMEM_TABLE_LIMIT_BYTES else 0
 
 
 def intersect_scene(scene, o: V3, d: V3,
                     active: jnp.ndarray | None = None) -> Hit:
-    if _use_packet_kernel(scene):
+    version = _packet_kernel_version(scene)
+    if version == 2:
+        from sycl_ray_tracer_tpu.ops.traverse_pallas2 import (
+            traverse_packets2)
+        return traverse_packets2(scene.bvh_ctiles, scene.bvh_ltiles,
+                                 scene.bvh_ni, scene.leaf_size, o, d,
+                                 active=active)
+    if version == 1:
         from sycl_ray_tracer_tpu.ops.traverse_pallas import traverse_packets
         return traverse_packets(scene.bvh_children, scene.bvh_leaves,
                                 scene.bvh_ni, scene.bvh_depth,

@@ -165,6 +165,150 @@ def build(tri_v: jnp.ndarray, leaf_size: int = 8):
                  depth=depth, leaf_size=k), sorted_v, valid
 
 
+def morton30_np(p: np.ndarray, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    """numpy twin of lbvh.morton30 (bit-identical given f32 inputs)."""
+    def expand(x):
+        x = x.astype(np.uint32) & np.uint32(0x3FF)
+        x = (x | (x << 16)) & np.uint32(0x030000FF)
+        x = (x | (x << 8)) & np.uint32(0x0300F00F)
+        x = (x | (x << 4)) & np.uint32(0x030C30C3)
+        x = (x | (x << 2)) & np.uint32(0x09249249)
+        return x
+    extent = np.maximum((hi - lo).astype(np.float32), np.float32(1e-20))
+    q = np.clip((p - lo).astype(np.float32) / extent,
+                np.float32(0.0), np.float32(1.0 - 1e-7))
+    cell = (q * np.float32(1024.0)).astype(np.uint32)
+    return ((expand(cell[:, 0]) << 2) | (expand(cell[:, 1]) << 1)
+            | expand(cell[:, 2]))
+
+
+def build_np(tri_v: np.ndarray, leaf_size: int = 8):
+    """Host (numpy) twin of `build`: same Wbvh8 layout, milliseconds
+    instead of an XLA compile. This is the default scene-build path —
+    the jitted `build` stays as the on-device option and cross-check
+    (VERDICT round 1: the 128 s jitted build was nearly all compile
+    time; Embree commits Sponza in well under a second).
+    """
+    tri_v = np.asarray(tri_v, np.float32)
+    n = tri_v.shape[0]
+    k = leaf_size
+    depth, ni, l_leaves, width = plan(n, k)
+
+    if n:
+        centroids = tri_v.mean(axis=1, dtype=np.float32)
+        lo = centroids.min(axis=0)
+        hi = centroids.max(axis=0)
+        codes = morton30_np(centroids, lo, hi)
+        # jnp.argsort is stable; match it so both builds produce
+        # identical trees on tied codes
+        perm = np.argsort(codes, kind="stable").astype(np.int32)
+    else:
+        perm = np.zeros((0,), np.int32)
+    pad = l_leaves * k - n
+    order = np.concatenate([perm, np.full((pad,), -1, np.int32)])
+    valid = order >= 0
+    safe = np.maximum(order, 0)
+    if n:
+        sorted_v = tri_v[safe]
+        sorted_v[~valid] = 0.0
+    else:
+        sorted_v = np.zeros((l_leaves * k, 3, 3), np.float32)
+
+    lo_tri = np.where(valid[:, None], sorted_v.min(axis=1), _INF)
+    hi_tri = np.where(valid[:, None], sorted_v.max(axis=1), -_INF)
+    leaf_lo = lo_tri.reshape(l_leaves, k, 3).min(axis=1)
+    leaf_hi = hi_tri.reshape(l_leaves, k, 3).max(axis=1)
+
+    lvl_lo = [leaf_lo]
+    lvl_hi = [leaf_hi]
+    while lvl_lo[0].shape[0] > 1:
+        lvl_lo.insert(0, np.minimum(lvl_lo[0][0::2], lvl_lo[0][1::2]))
+        lvl_hi.insert(0, np.maximum(lvl_hi[0][0::2], lvl_hi[0][1::2]))
+
+    blocks = []
+    for d in range(depth):
+        bl = lvl_lo[3 * (d + 1)].copy()
+        bh = lvl_hi[3 * (d + 1)].copy()
+        empty = (bh[:, 0] < bl[:, 0])
+        bl[empty] = _INF
+        bh[empty] = _INF
+        bl8 = bl.reshape(8 ** d, 8, 3).transpose(0, 2, 1).reshape(-1, 24)
+        bh8 = bh.reshape(8 ** d, 8, 3).transpose(0, 2, 1).reshape(-1, 24)
+        blocks.append(np.concatenate([bl8, bh8], axis=1))
+    internal = np.concatenate(blocks, axis=0)
+    children_split = internal
+    if width > 48:
+        internal = np.pad(internal, ((0, 0), (0, width - 48)))
+
+    v0 = sorted_v[:, 0, :]
+    e1 = sorted_v[:, 1, :] - sorted_v[:, 0, :]
+    e2 = sorted_v[:, 2, :] - sorted_v[:, 0, :]
+    comps = np.concatenate([v0, e1, e2], axis=1)
+    leaf_rows = comps.reshape(l_leaves, k, 9).transpose(0, 2, 1).reshape(
+        l_leaves, 9 * k)
+    l_real = max(-(-n // k), 1)
+    leaves_split = leaf_rows[:l_real]
+    if width > 9 * k:
+        leaf_rows = np.pad(leaf_rows, ((0, 0), (0, width - 9 * k)))
+
+    nodes = np.concatenate([internal, leaf_rows], axis=0)
+    return Wbvh8(nodes=nodes, children=children_split,
+                 leaves=leaves_split, order=order, num_internal=ni,
+                 depth=depth, leaf_size=k), sorted_v, valid
+
+
+def heap_child_ids_np(ni: int) -> np.ndarray:
+    """[NI, 8] int32 child ids of the implicit heap (8i+1..8i+8).
+
+    Materialized so the packet kernel is topology-agnostic: an explicit
+    (SAH) tree drops in by supplying different ids.
+    """
+    i = np.arange(ni, dtype=np.int64)[:, None]
+    return (8 * i + 1 + np.arange(8, dtype=np.int64)[None, :]).astype(
+        np.int64)
+
+
+def pack_tiles_np(children: np.ndarray, child_ids: np.ndarray,
+                  leaves: np.ndarray, leaf_size: int):
+    """Pack the split tables into the sublane-major tile layout the v2
+    packet kernel wants (ops/traverse_pallas2.py):
+
+    ctiles [ceil(NI/16), 8, 128]: sublane j = child j; node g=(n%16)
+      occupies lanes [8g, 8g+8): comps lox,loy,loz,hix,hiy,hiz at
+      lanes 8g+0..5, the child id (exact f32 integer) at 8g+6.
+    ltiles [ceil(L/8), 8, 128]: sublane j = triangle j; leaf g=(l%8)
+      occupies lanes [16g, 16g+16): comps v0/e1/e2 xyz at 16g+0..8.
+
+    Physical VMEM cost equals the old row tables (their 48/72-wide rows
+    already padded to 128 lanes); the win is that one dynamic-row
+    vector load + a few lane-broadcast gathers replace ~50-80 scalar
+    loads per visited node.
+    """
+    k = leaf_size
+    if k != 8:
+        raise ValueError("tile packing requires leaf_size=8")
+    ni = children.shape[0]
+    ids = np.asarray(child_ids)
+    assert ids.max(initial=0) < (1 << 24), "child ids exceed exact f32"
+
+    nt = -(-ni // 16)
+    boxes = children.reshape(ni, 6, 8).transpose(0, 2, 1)  # [n, j, c]
+    node_block = np.zeros((nt * 16, 8, 8), np.float32)
+    node_block[:ni, :, :6] = boxes
+    node_block[:ni, :, 6] = ids.astype(np.float32)
+    ctiles = node_block.reshape(nt, 16, 8, 8).transpose(
+        0, 2, 1, 3).reshape(nt, 8, 128)
+
+    l = leaves.shape[0]
+    lt = -(-l // 8)
+    tris = leaves.reshape(l, 9, k).transpose(0, 2, 1)      # [l, j, c]
+    leaf_block = np.zeros((lt * 8, 8, 16), np.float32)
+    leaf_block[:l, :, :9] = tris
+    ltiles = leaf_block.reshape(lt, 8, 8, 16).transpose(
+        0, 2, 1, 3).reshape(lt, 8, 128)
+    return ctiles, ltiles
+
+
 def _lowest_bit_index(m: jnp.ndarray) -> jnp.ndarray:
     """Index of the lowest set bit of m (int32, m != 0). Exact for
     8-bit masks: log2 of a power of two is exact in f32."""

@@ -53,6 +53,90 @@ def test_packet_kernel_matches_brute(rs):
     assert np.allclose(t1[both], t_b[both], rtol=1e-5, atol=1e-6)
 
 
+def _traverse2_interpret(ct, lt, ni, k, o, d, active=None, rows=2):
+    import sycl_ray_tracer_tpu.ops.traverse_pallas2 as TP2
+    from jax.experimental import pallas as pl
+
+    orig = pl.pallas_call
+
+    def patched(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    TP2.pl.pallas_call = patched
+    try:
+        return TP2.traverse_packets2(ct, lt, ni, k, o, d,
+                                     active=active, rows=rows)
+    finally:
+        TP2.pl.pallas_call = orig
+
+
+def _tiles_for(bvh, k):
+    ids = wbvh.heap_child_ids_np(bvh.num_internal)
+    ct, lt = wbvh.pack_tiles_np(np.asarray(bvh.children), ids,
+                                np.asarray(bvh.leaves), k)
+    return jnp.asarray(ct), jnp.asarray(lt)
+
+
+@pytest.mark.parametrize("rows", [1, 2, 8])
+def test_packet_kernel2_matches_brute(rs, rows):
+    n, k = 1500, 8
+    c = rs.uniform(-5, 5, (n, 3)).astype(np.float32)
+    tri = c[:, None, :] + rs.uniform(-0.3, 0.3, (n, 3, 3)).astype(np.float32)
+    bvh, sorted_v, _ = wbvh.build_np(tri, k)
+    ct, lt = _tiles_for(bvh, k)
+
+    r = 1500  # not a packet multiple: exercises padding
+    o_np = rs.uniform(-8, 8, (r, 3)).astype(np.float32)
+    d_np = rs.uniform(-1, 1, (r, 3)).astype(np.float32)
+    o = V3(*(jnp.asarray(o_np[:, i]) for i in range(3)))
+    d = V3(*(jnp.asarray(d_np[:, i]) for i in range(3)))
+
+    hit = _traverse2_interpret(ct, lt, bvh.num_internal, k, o, d,
+                               rows=rows)
+    t_b, id_b, _, _ = intersect_brute_np(o_np, d_np, np.asarray(sorted_v))
+    id1 = np.asarray(hit.tri)
+    t1 = np.asarray(hit.t)
+    assert ((id1 >= 0) == (id_b >= 0)).all()
+    both = id1 >= 0
+    assert (id1[both] == id_b[both]).all()
+    assert np.allclose(t1[both], t_b[both], rtol=1e-5, atol=1e-6)
+
+
+def test_packet_kernel2_active_mask(rs):
+    n, k = 300, 8
+    c = rs.uniform(-2, 2, (n, 3)).astype(np.float32)
+    tri = c[:, None, :] + rs.uniform(-0.3, 0.3, (n, 3, 3)).astype(np.float32)
+    tri[0] = np.array([[-1, -1, 0], [1, -1, 0], [0, 1, 0]], np.float32)
+    bvh, _, _ = wbvh.build_np(tri, k)
+    ct, lt = _tiles_for(bvh, k)
+
+    r = 1024
+    o = V3(jnp.zeros(r), jnp.zeros(r), jnp.full(r, 8.0))
+    d = V3(jnp.zeros(r), jnp.zeros(r), jnp.full(r, -1.0))
+    active = jnp.asarray(np.arange(r) % 2 == 0)
+    hit = _traverse2_interpret(ct, lt, bvh.num_internal, k, o, d,
+                               active=active)
+    tri_ids = np.asarray(hit.tri)
+    assert (tri_ids[1::2] == -1).all()
+    assert (tri_ids[0::2] >= 0).all()
+    assert (np.asarray(hit.t)[1::2] == 0).all()
+
+
+def test_build_np_matches_jit_build(rs):
+    n, k = 700, 8
+    c = rs.uniform(-5, 5, (n, 3)).astype(np.float32)
+    tri = c[:, None, :] + rs.uniform(-0.3, 0.3, (n, 3, 3)).astype(np.float32)
+    b_np, sv_np, _ = wbvh.build_np(tri, k)
+    b_j, sv_j, _ = jax.jit(lambda t: wbvh.build(t, k))(jnp.asarray(tri))
+    assert b_np.num_internal == b_j.num_internal
+    assert b_np.depth == b_j.depth
+    assert (b_np.order == np.asarray(b_j.order)).all()
+    assert np.allclose(b_np.nodes, np.asarray(b_j.nodes))
+    assert np.allclose(b_np.children, np.asarray(b_j.children))
+    assert np.allclose(b_np.leaves, np.asarray(b_j.leaves))
+
+
 def test_packet_kernel_active_mask(rs):
     n, k = 300, 8
     c = rs.uniform(-2, 2, (n, 3)).astype(np.float32)
