@@ -35,9 +35,12 @@ class DeviceScene:
     bvh_children: jnp.ndarray  # [NI, 48]
     bvh_leaves: jnp.ndarray    # [ceil(N/K), 9K]
     # Sublane-major tile tables for the v2 Pallas kernel
-    # (wbvh.pack_tiles_np / ops/traverse_pallas2.py).
+    # (wbvh.pack_tiles_np / ops/traverse_pallas2.py). When has_sah,
+    # these hold the binned-SAH BVH8 (ops/sah.py, native builder) and
+    # bvh_remap translates its hit slots to Morton-slot space.
     bvh_ctiles: jnp.ndarray    # [ceil(NI/16), 8, 128]
     bvh_ltiles: jnp.ndarray    # [ceil(L/8), 8, 128]
+    bvh_remap: jnp.ndarray     # [L_sah*K] int32 sah slot -> morton slot
     # Shading data in sorted leaf order, padded to L*K rows.
     tri_n: jnp.ndarray     # [LK, 3, 3] unit shading normals (world)
     tri_uv: jnp.ndarray    # [LK, 3, 2]
@@ -56,6 +59,8 @@ class DeviceScene:
     scene_hi: jnp.ndarray      # [3]
     # Static config
     has_tiles: bool = struct.field(pytree_node=False, default=False)
+    has_sah: bool = struct.field(pytree_node=False, default=False)
+    sah_ni: int = struct.field(pytree_node=False, default=1)
     leaf_size: int = struct.field(pytree_node=False, default=DEFAULT_LEAF_SIZE)
     bvh_depth: int = struct.field(pytree_node=False, default=1)
     bvh_ni: int = struct.field(pytree_node=False, default=1)
@@ -95,8 +100,35 @@ def build_device_scene(host: HostScene,
             leaf_size=bvh.leaf_size)
     else:
         bvh, sorted_v, valid = wbvh.build_np(host.tri_v, leaf_size)
+    from sycl_ray_tracer_tpu.ops import sah as _sah
+
+    order = np.asarray(bvh.order)
     has_tiles = leaf_size == 8 and ni + 8 ** depth < (1 << 24)
-    if has_tiles:
+    has_sah = False
+    sah_ni = 1
+    remap = np.zeros((1,), np.int32)
+    sahb = None
+    if (has_tiles and host.num_triangles
+            and os.environ.get("SRT_NO_SAH") != "1"):
+        sahb = _sah.build_sah(host.tri_v, leaf_size)
+    if sahb is not None and sahb.num_internal + sahb.num_leaves < (
+            1 << 24):
+        ctiles, ltiles = wbvh.pack_tiles_np(
+            sahb.children, sahb.child_ids,
+            _sah.leaf_rows(host.tri_v, sahb.order, leaf_size),
+            leaf_size)
+        # SAH hit slots -> Morton slots (one [R] gather per traversal;
+        # all shading arrays stay in the canonical Morton order)
+        inv_morton = np.full((host.num_triangles,), 0, np.int32)
+        validm0 = order >= 0
+        inv_morton[order[validm0]] = np.nonzero(validm0)[0].astype(
+            np.int32)
+        remap = np.where(sahb.order >= 0,
+                         inv_morton[np.maximum(sahb.order, 0)],
+                         -1).astype(np.int32)
+        has_sah = True
+        sah_ni = sahb.num_internal
+    elif has_tiles:
         child_ids = wbvh.heap_child_ids_np(ni)
         ctiles, ltiles = wbvh.pack_tiles_np(
             np.asarray(bvh.children), child_ids,
@@ -106,7 +138,6 @@ def build_device_scene(host: HostScene,
         # kernel / XLA traversal serve these configurations
         ctiles = np.zeros((1, 8, 128), np.float32)
         ltiles = np.zeros((1, 8, 128), np.float32)
-    order = np.asarray(bvh.order)
     safe = np.maximum(order, 0)
     validm = order >= 0
 
@@ -129,7 +160,10 @@ def build_device_scene(host: HostScene,
         bvh_leaves=jnp.asarray(bvh.leaves),
         bvh_ctiles=jnp.asarray(ctiles),
         bvh_ltiles=jnp.asarray(ltiles),
+        bvh_remap=jnp.asarray(remap),
         has_tiles=has_tiles,
+        has_sah=has_sah,
+        sah_ni=sah_ni,
         tri_n=jnp.asarray(tri_n), tri_uv=jnp.asarray(tri_uv),
         tri_mat=jnp.asarray(tri_mat),
         mat_type=jnp.asarray(m.mtype.astype(np.int32)),

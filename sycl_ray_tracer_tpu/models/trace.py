@@ -65,14 +65,24 @@ def _packet_kernel_version(scene) -> int:
 
 
 def intersect_scene(scene, o: V3, d: V3,
-                    active: jnp.ndarray | None = None) -> Hit:
+                    active: jnp.ndarray | None = None,
+                    rows: int | None = None) -> Hit:
     version = _packet_kernel_version(scene)
     if version == 2:
         from sycl_ray_tracer_tpu.ops.traverse_pallas2 import (
             traverse_packets2)
-        return traverse_packets2(scene.bvh_ctiles, scene.bvh_ltiles,
-                                 scene.bvh_ni, scene.leaf_size, o, d,
-                                 active=active)
+        ni = scene.sah_ni if scene.has_sah else scene.bvh_ni
+        hit = traverse_packets2(scene.bvh_ctiles, scene.bvh_ltiles,
+                                ni, scene.leaf_size, o, d,
+                                active=active, rows=rows)
+        if scene.has_sah:
+            # SAH-slot hit ids -> canonical Morton slots (scene.py)
+            tri = jnp.where(
+                hit.tri >= 0,
+                jnp.take(scene.bvh_remap, jnp.maximum(hit.tri, 0)),
+                -1)
+            hit = hit._replace(tri=tri)
+        return hit
     if version == 1:
         from sycl_ray_tracer_tpu.ops.traverse_pallas import traverse_packets
         return traverse_packets(scene.bvh_children, scene.bvh_leaves,
@@ -108,6 +118,32 @@ def rr_survive(att, key, counter):
     return survive, V3(att.x * inv_p, att.y * inv_p, att.z * inv_p)
 
 
+def shade_lanes(scene, hit: Hit):
+    """Interpolated shading inputs for hit lanes (garbage on miss
+    lanes; callers mask).
+
+    Parity: barycentric normal/UV interpolation + normalize of
+    trace_ray.hpp:32-59. NOTE a packed [R,16] single-gather variant was
+    tried in round 2 and OOM'd: XLA spills wide gather results through
+    lane-padded remat copies (4 GB at 8M rays) — the [R,3,3]/[R,3,2]
+    takes below keep linear layouts."""
+    safe_tri = jnp.maximum(hit.tri, 0)
+    n_rows = jnp.take(scene.tri_n, safe_tri, axis=0)    # [R, 3, 3]
+    uv_rows = jnp.take(scene.tri_uv, safe_tri, axis=0)  # [R, 3, 2]
+    w = 1.0 - hit.u - hit.v
+    normal = normalize(V3(
+        w * n_rows[:, 0, 0] + hit.u * n_rows[:, 1, 0] + hit.v * n_rows[:, 2, 0],
+        w * n_rows[:, 0, 1] + hit.u * n_rows[:, 1, 1] + hit.v * n_rows[:, 2, 1],
+        w * n_rows[:, 0, 2] + hit.u * n_rows[:, 1, 2] + hit.v * n_rows[:, 2, 2],
+    ), eps=1e-20)
+    uv_u = (w * uv_rows[:, 0, 0] + hit.u * uv_rows[:, 1, 0]
+            + hit.v * uv_rows[:, 2, 0])
+    uv_v = (w * uv_rows[:, 0, 1] + hit.u * uv_rows[:, 1, 1]
+            + hit.v * uv_rows[:, 2, 1])
+    mat = mats.gather_materials(scene, hit.tri)
+    return normal, uv_u, uv_v, mat
+
+
 def trace_step(scene, state: PathState, key: jnp.ndarray,
                bounce_counter, rr: bool = False,
                bounce_idx=None) -> PathState:
@@ -123,19 +159,7 @@ def trace_step(scene, state: PathState, key: jnp.ndarray,
     res_miss = att * (sky_v + rad)  # trace_ray.hpp:25-27
 
     # ---- shading data for hit lanes (garbage on miss lanes, masked) --
-    safe_tri = jnp.maximum(hit.tri, 0)
-    n_rows = jnp.take(scene.tri_n, safe_tri, axis=0)    # [R, 3, 3]
-    uv_rows = jnp.take(scene.tri_uv, safe_tri, axis=0)  # [R, 3, 2]
-    w = 1.0 - hit.u - hit.v
-    normal = normalize(V3(
-        w * n_rows[:, 0, 0] + hit.u * n_rows[:, 1, 0] + hit.v * n_rows[:, 2, 0],
-        w * n_rows[:, 0, 1] + hit.u * n_rows[:, 1, 1] + hit.v * n_rows[:, 2, 1],
-        w * n_rows[:, 0, 2] + hit.u * n_rows[:, 1, 2] + hit.v * n_rows[:, 2, 2],
-    ), eps=1e-20)
-    uv_u = w * uv_rows[:, 0, 0] + hit.u * uv_rows[:, 1, 0] + hit.v * uv_rows[:, 2, 0]
-    uv_v = w * uv_rows[:, 0, 1] + hit.u * uv_rows[:, 1, 1] + hit.v * uv_rows[:, 2, 1]
-
-    mat = mats.gather_materials(scene, hit.tri)
+    normal, uv_u, uv_v, mat = shade_lanes(scene, hit)
     rad_hit = rad + mat.emissive  # trace_ray.hpp:64
 
     d_unit = normalize(d, eps=1e-20)

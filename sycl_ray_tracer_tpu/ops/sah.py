@@ -1,0 +1,142 @@
+"""Binned-SAH BVH8 (native builder binding + host-side packing).
+
+The quality replacement for the implicit Morton heap: Embree gives the
+reference an SAH tree for free (scene.cpp:101-107); ours is built by
+native/srt_bvh.cpp (binary binned SAH -> largest-surface-area 8-wide
+collapse) and packed into the same tile tables the v2 packet kernel
+consumes (ops/traverse_pallas2.py reads child ids from the tiles, so
+the explicit tree drops in with no kernel change).
+
+Triangle identity: the kernel reports hits in SAH-slot space
+(leaf_row * K + j). `remap` translates those to the scene's canonical
+Morton-slot space with one [R] gather, so shading data, the XLA
+traversal twin, the oracle, and every test keep a single triangle
+order (models/trace.py applies it).
+"""
+
+from __future__ import annotations
+
+import ctypes
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+from sycl_ray_tracer_tpu.utils import native_loader
+
+_INF = np.float32(3.0e38)
+
+
+class SahBvh(NamedTuple):
+    children: np.ndarray   # [NI, 48] component-major child boxes
+    child_ids: np.ndarray  # [NI, 8] int32 (leaf child = NI + leaf_row)
+    order: np.ndarray      # [L*K] int32 original tri ids (-1 pad)
+    num_internal: int
+    num_leaves: int
+    depth: int
+    leaf_size: int
+
+
+def _bind(lib):
+    if getattr(lib, "_srt_bvh_bound", False):
+        return True
+    try:
+        lib.srt_bvh_build.restype = ctypes.c_void_p
+        lib.srt_bvh_build.argtypes = [ctypes.POINTER(ctypes.c_float),
+                                      ctypes.c_int64, ctypes.c_int32]
+        for name in ("srt_bvh_ni", "srt_bvh_nleaves"):
+            fn = getattr(lib, name)
+            fn.restype = ctypes.c_int64
+            fn.argtypes = [ctypes.c_void_p]
+        lib.srt_bvh_depth.restype = ctypes.c_int32
+        lib.srt_bvh_depth.argtypes = [ctypes.c_void_p]
+        lib.srt_bvh_copy.argtypes = [ctypes.c_void_p] + [
+            ctypes.c_void_p] * 3
+        lib.srt_bvh_free.argtypes = [ctypes.c_void_p]
+    except AttributeError:
+        return False  # stale library without the bvh entry points
+    lib._srt_bvh_bound = True
+    return True
+
+
+def available() -> bool:
+    lib = native_loader._load_library()
+    return lib is not None and _bind(lib)
+
+
+def build_sah(tri_v: np.ndarray, leaf_size: int = 8
+              ) -> Optional[SahBvh]:
+    """Build the SAH BVH8 on host. Returns None when the native
+    library is unavailable (callers fall back to the Morton heap)."""
+    lib = native_loader._load_library()
+    if lib is None or not _bind(lib):
+        return None
+    tri_v = np.ascontiguousarray(tri_v, np.float32)
+    n = tri_v.shape[0]
+    h = lib.srt_bvh_build(
+        tri_v.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n,
+        leaf_size)
+    try:
+        ni = lib.srt_bvh_ni(h)
+        nl = lib.srt_bvh_nleaves(h)
+        depth = lib.srt_bvh_depth(h)
+        children = np.empty((ni, 48), np.float32)
+        ids = np.empty((ni, 8), np.int32)
+        order = np.empty((nl * leaf_size,), np.int32)
+        lib.srt_bvh_copy(
+            h, children.ctypes.data_as(ctypes.c_void_p),
+            ids.ctypes.data_as(ctypes.c_void_p),
+            order.ctypes.data_as(ctypes.c_void_p))
+    finally:
+        lib.srt_bvh_free(h)
+    return SahBvh(children=children, child_ids=ids, order=order,
+                  num_internal=int(ni), num_leaves=int(nl),
+                  depth=int(depth), leaf_size=leaf_size)
+
+
+def leaf_rows(tri_v: np.ndarray, order: np.ndarray, leaf_size: int
+              ) -> np.ndarray:
+    """[L, 9K] component-major triangle rows (v0/e1/e2 per slot) for
+    the SAH leaf order; padding slots are degenerate (all-zero)."""
+    k = leaf_size
+    valid = order >= 0
+    safe = np.maximum(order, 0)
+    sv = tri_v[safe].astype(np.float32)
+    sv[~valid] = 0.0
+    v0 = sv[:, 0, :]
+    e1 = sv[:, 1, :] - sv[:, 0, :]
+    e2 = sv[:, 2, :] - sv[:, 0, :]
+    comps = np.concatenate([v0, e1, e2], axis=1)       # [L*K, 9]
+    l = order.shape[0] // k
+    return comps.reshape(l, k, 9).transpose(0, 2, 1).reshape(l, 9 * k)
+
+
+def validate(bvh: SahBvh, tri_v: np.ndarray) -> None:
+    """Structural invariants (mirrors lbvh.validate's role):
+    every triangle reachable exactly once; children contained in
+    parents; ids in range."""
+    ni, k = bvh.num_internal, bvh.leaf_size
+    seen = bvh.order[bvh.order >= 0]
+    assert len(seen) == tri_v.shape[0]
+    assert len(np.unique(seen)) == tri_v.shape[0], "tri lost/duplicated"
+
+    # child boxes contain their triangles / sub-boxes
+    boxes = bvh.children.reshape(ni, 6, 8)
+    for node in range(ni):
+        for j in range(8):
+            cid = bvh.child_ids[node, j]
+            lo = boxes[node, 0:3, j]
+            hi = boxes[node, 3:6, j]
+            if lo[0] >= _INF:  # empty slot
+                continue
+            if cid >= ni:  # leaf
+                leaf = cid - ni
+                sl = bvh.order[leaf * k:(leaf + 1) * k]
+                tv = tri_v[sl[sl >= 0]].reshape(-1, 3)
+                assert (tv >= lo - 1e-4).all(), f"leaf {leaf} lo"
+                assert (tv <= hi + 1e-4).all(), f"leaf {leaf} hi"
+            else:
+                cb = bvh.children.reshape(ni, 6, 8)[cid]
+                real = cb[0] < _INF
+                if real.any():
+                    assert (cb[0:3, real] >= lo[:, None] - 1e-4).all()
+                    assert (cb[3:6, real] <= hi[:, None] + 1e-4).all()

@@ -45,11 +45,14 @@ from jax.experimental.pallas import tpu as pltpu
 from sycl_ray_tracer_tpu.ops.intersect import BIG, TNEAR, Hit, _DET_EPS
 from sycl_ray_tracer_tpu.ops.vec import V3
 
-# Ray rows per packet: packet = RB x 128 rays sharing one traversal
-# stack. Smaller RB = tighter visit unions; larger RB amortizes the
-# per-visit fixed cost (tile load + gathers + the scalar rank chain)
-# and the per-program grid overhead.
-PACKET_ROWS2 = int(os.environ.get("SRT_PACKET_ROWS2", "2"))
+# Ray rows per sub-packet: sub-packet = RB x 128 rays sharing one
+# traversal stack. Smaller RB = tighter visit unions; larger RB
+# amortizes the per-visit fixed cost (the scalar-unit side: rank
+# chain, scratch extraction, stack ops — measured as the critical
+# path, tools/ablate_kernel.py). Measured on v5e sponza_proc SAH:
+# rb4 99 / rb8 107 ms per 1M primaries; rb4 264 / rb8 250 ms per 1M
+# sorted diffuse bounce rays — 8 wins on the dominant bounce load.
+PACKET_ROWS2 = int(os.environ.get("SRT_PACKET_ROWS2", "8"))
 _STACK = 192  # >= depth*7 + 1 for any tree that fits VMEM, plus slack
 _MISS = np.float32(BIG) * np.float32(0.5)  # "no hit" threshold for keys
 

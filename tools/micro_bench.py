@@ -98,11 +98,11 @@ def case_compact():
     print("== compaction primitives ==")
     for n in [1 << 20, 1 << 23, 1 << 24]:
         alive_sets = [jnp.asarray(np.random.rand(n) < 0.6) for _ in range(4)]
-        payload = [jnp.asarray(np.random.rand(n).astype(np.float32))
-                   for _ in range(13)]
+        payload = tuple(jnp.asarray(np.random.rand(n).astype(np.float32))
+                        for _ in range(13))
 
         @jax.jit
-        def compact(alive):
+        def compact(alive, payload):
             pos = jnp.cumsum(alive.astype(jnp.int32)) - 1
             dst = jnp.where(alive, pos, n)
             outs = [jnp.zeros_like(p).at[dst].set(p, mode="drop")
@@ -110,7 +110,7 @@ def case_compact():
             return outs
 
         def run(i):
-            return compact(alive_sets[i % 4])
+            return compact(alive_sets[i % 4], payload)
 
         dt, _ = timed(run)
         print(f"  cumsum+scatter 13x[{n>>20}M] f32: {dt*1e3:7.2f} ms")
@@ -119,15 +119,25 @@ def case_compact():
                 for _ in range(4)]
 
         @jax.jit
-        def sortperm(k):
+        def sortperm(k, payload):
             perm = jnp.argsort(k)
             return [jnp.take(p, perm, axis=0) for p in payload]
 
         def run2(i):
-            return sortperm(keys[i % 4])
+            return sortperm(keys[i % 4], payload)
 
         dt, _ = timed(run2)
         print(f"  argsort+13-gather [{n>>20}M]:    {dt*1e3:7.2f} ms")
+
+        @jax.jit
+        def sortonly(k):
+            return jnp.sort(k)
+
+        def run3(i):
+            return sortonly(keys[i % 4])
+
+        dt, _ = timed(run3)
+        print(f"  sort-only [{n>>20}M] u32:        {dt*1e3:7.2f} ms")
 
 
 def case_segmin():
