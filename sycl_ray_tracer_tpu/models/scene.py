@@ -41,6 +41,16 @@ class DeviceScene:
     bvh_ctiles: jnp.ndarray    # [ceil(NI/16), 8, 128]
     bvh_ltiles: jnp.ndarray    # [ceil(L/8), 8, 128]
     bvh_remap: jnp.ndarray     # [L_sah*K] int32 sah slot -> morton slot
+    # Binary LBVH (ops/lbvh.py + ops/traverse.py) as an independently
+    # selectable intersector (intersector="lbvh"): the cross-check
+    # path used by the Sponza-scale convergence gate. Dummy [1, 3]
+    # arrays unless requested (the Embree analog of selecting a
+    # different RTC build quality; same triangle order as the WBVH8).
+    lbvh_lo: jnp.ndarray       # [2L, 3] or dummy
+    lbvh_hi: jnp.ndarray       # [2L, 3] or dummy
+    lbvh_v0: jnp.ndarray       # [LK, 3] or dummy
+    lbvh_e1: jnp.ndarray       # [LK, 3] or dummy
+    lbvh_e2: jnp.ndarray       # [LK, 3] or dummy
     # Shading data in sorted leaf order, padded to L*K rows.
     tri_n: jnp.ndarray     # [LK, 3, 3] unit shading normals (world)
     tri_uv: jnp.ndarray    # [LK, 3, 2]
@@ -58,6 +68,11 @@ class DeviceScene:
     scene_lo: jnp.ndarray      # [3] world bounds (for ray-sort Morton keys)
     scene_hi: jnp.ndarray      # [3]
     # Static config
+    # "auto" = WBVH8 tables (Pallas kernel on TPU, XLA twin on CPU);
+    # "lbvh" = binary LBVH via ops/traverse.py (independent
+    # cross-check). Static field: part of every jit cache key, so
+    # switching intersectors retraces instead of reusing stale code.
+    intersector: str = struct.field(pytree_node=False, default="auto")
     has_tiles: bool = struct.field(pytree_node=False, default=False)
     has_sah: bool = struct.field(pytree_node=False, default=False)
     sah_ni: int = struct.field(pytree_node=False, default=1)
@@ -73,7 +88,8 @@ class DeviceScene:
 
 def build_device_scene(host: HostScene,
                        leaf_size: int = DEFAULT_LEAF_SIZE,
-                       dtype=jnp.float32) -> DeviceScene:
+                       dtype=jnp.float32,
+                       intersector: str = "auto") -> DeviceScene:
     """Upload + BVH-build a HostScene.
 
     The build runs on the HOST in numpy (wbvh.build_np: a Morton sort
@@ -153,6 +169,26 @@ def build_device_scene(host: HostScene,
     tri_mat = host.tri_mat[safe].astype(np.int32)
     tri_mat[~validm] = 0
 
+    if intersector == "lbvh":
+        # Binary-LBVH cross-check tables: same Morton triangle order
+        # as the WBVH8 (lbvh.sorted_order and wbvh.build_np both
+        # stable-argsort the same morton30 codes), so hit ids index
+        # the same shading rows.
+        from sycl_ray_tracer_tpu.ops import lbvh as _lbvh
+
+        sv = np.asarray(sorted_v, np.float32)
+        l_leaves = sv.shape[0] // leaf_size
+        n_lo, n_hi = _lbvh.fit_nodes(jnp.asarray(sv),
+                                     jnp.asarray(validm), l_leaves,
+                                     leaf_size)
+        lbvh_lo, lbvh_hi = jnp.asarray(n_lo), jnp.asarray(n_hi)
+        lbvh_v0 = jnp.asarray(sv[:, 0, :])
+        lbvh_e1 = jnp.asarray(sv[:, 1, :] - sv[:, 0, :])
+        lbvh_e2 = jnp.asarray(sv[:, 2, :] - sv[:, 0, :])
+    else:
+        dummy = jnp.zeros((1, 3), jnp.float32)
+        lbvh_lo = lbvh_hi = lbvh_v0 = lbvh_e1 = lbvh_e2 = dummy
+
     m = host.materials
     return DeviceScene(
         bvh_nodes=jnp.asarray(bvh.nodes),
@@ -161,6 +197,9 @@ def build_device_scene(host: HostScene,
         bvh_ctiles=jnp.asarray(ctiles),
         bvh_ltiles=jnp.asarray(ltiles),
         bvh_remap=jnp.asarray(remap),
+        lbvh_lo=lbvh_lo, lbvh_hi=lbvh_hi,
+        lbvh_v0=lbvh_v0, lbvh_e1=lbvh_e1, lbvh_e2=lbvh_e2,
+        intersector=intersector,
         has_tiles=has_tiles,
         has_sah=has_sah,
         sah_ni=sah_ni,

@@ -45,7 +45,8 @@ class PathState(NamedTuple):
 
 
 def _packet_kernel_version(scene) -> int:
-    """0 = XLA traversal, 1 = v1 packet kernel, 2 = v2 tile kernel."""
+    """0 = XLA traversal, 1 = v1 packet kernel, 2 = v2 tile kernel,
+    5 = v5 sync-amortized tile kernel (default on TPU)."""
     forced = os.environ.get("SRT_KERNEL")
     if os.environ.get("SRT_FORCE_XLA_TRAVERSE") or forced == "xla":
         return 0
@@ -55,26 +56,53 @@ def _packet_kernel_version(scene) -> int:
         table_bytes = (scene.bvh_children.size
                        + scene.bvh_leaves.size) * 4
         return 1 if table_bytes <= VMEM_TABLE_LIMIT_BYTES else 0
-    # v2 tile tables exist only for leaf_size=8 scenes (scene.py)
+    # v2/v5 tile tables exist only for leaf_size=8 scenes (scene.py)
     if scene.has_tiles:
         table_bytes = (scene.bvh_ctiles.size + scene.bvh_ltiles.size) * 4
         if table_bytes <= VMEM_TABLE_LIMIT_BYTES:
-            return 2
+            return 2 if forced == "v2" else 5
     table_bytes = (scene.bvh_children.size + scene.bvh_leaves.size) * 4
     return 1 if table_bytes <= VMEM_TABLE_LIMIT_BYTES else 0
 
 
+# v5 kernel configs from the round-2 TPU sweep (PLAN_TPU.md): coherent
+# primary packets run fastest with small row blocks and minimal
+# batching (rb4 ki1 ml2: 12.1 Mrays/s); incoherent bounce packets with
+# wide blocks and deeper sync amortization (rb8 ki2 ml3: 5.15 vs v2's
+# 4.13 Mrays/s).
+V5_PRIMARY = (4, 1, 2)   # (rows, ki, ml)
+V5_BOUNCE = (8, 2, 3)
+
+
 def intersect_scene(scene, o: V3, d: V3,
                     active: jnp.ndarray | None = None,
-                    rows: int | None = None) -> Hit:
+                    rows: int | None = None,
+                    primary: bool = False) -> Hit:
+    if scene.intersector == "lbvh":
+        # independently selectable binary-LBVH path (scene.py); the
+        # Sponza-scale convergence gate renders through this and the
+        # default path with shared RNG/estimator (tests/test_render.py)
+        from sycl_ray_tracer_tpu.ops.traverse import traverse
+        return traverse(scene.lbvh_lo, scene.lbvh_hi, scene.lbvh_v0,
+                        scene.lbvh_e1, scene.lbvh_e2, o, d,
+                        scene.leaf_size, active_in=active)
     version = _packet_kernel_version(scene)
-    if version == 2:
-        from sycl_ray_tracer_tpu.ops.traverse_pallas2 import (
-            traverse_packets2)
+    if version in (2, 5):
         ni = scene.sah_ni if scene.has_sah else scene.bvh_ni
-        hit = traverse_packets2(scene.bvh_ctiles, scene.bvh_ltiles,
-                                ni, scene.leaf_size, o, d,
-                                active=active, rows=rows)
+        if version == 5:
+            from sycl_ray_tracer_tpu.ops.traverse_pallas5 import (
+                traverse_packets5)
+            rb, ki, ml = V5_PRIMARY if primary else V5_BOUNCE
+            hit = traverse_packets5(scene.bvh_ctiles, scene.bvh_ltiles,
+                                    ni, scene.leaf_size, o, d,
+                                    active=active, rows=rows or rb,
+                                    ki=ki, ml=ml)
+        else:
+            from sycl_ray_tracer_tpu.ops.traverse_pallas2 import (
+                traverse_packets2)
+            hit = traverse_packets2(scene.bvh_ctiles, scene.bvh_ltiles,
+                                    ni, scene.leaf_size, o, d,
+                                    active=active, rows=rows)
         if scene.has_sah:
             # SAH-slot hit ids -> canonical Morton slots (scene.py)
             tri = jnp.where(

@@ -123,7 +123,7 @@ def _coherence_key(scene, o: V3, d: V3, hit_tri=None,
 
 
 def _bounce(scene, key_lane, carry, bounce_idx, capacity,
-            rr: bool = False):
+            rr: bool = False, primary: bool = False):
     """One wavefront iteration over the live queue prefix."""
     (q_ox, q_oy, q_oz, q_dx, q_dy, q_dz,
      q_ar, q_ag, q_ab, q_rr, q_rg, q_rb, q_id, count, acc, rays) = carry
@@ -136,7 +136,8 @@ def _bounce(scene, key_lane, carry, bounce_idx, capacity,
     rad = V3(q_rr, q_rg, q_rb)
     key = jnp.take(key_lane, q_id, axis=0)
 
-    hit = _trace.intersect_scene(scene, o, d, active=in_q)
+    hit = _trace.intersect_scene(scene, o, d, active=in_q,
+                                 primary=primary)
     miss = hit.tri < 0
 
     sky = scene.sky_color
@@ -295,17 +296,20 @@ def _gen_queue(scene, cam: Camera, seed, sample_offset, *, width: int,
     return key_lane, state
 
 
-@functools.partial(jax.jit, static_argnames=("capacity", "rr"),
+@functools.partial(jax.jit,
+                   static_argnames=("capacity", "rr", "primary"),
                    donate_argnums=(1,))
 def _bounce_step(scene, state, key_lane, bounce_idx, *, capacity: int,
-                 rr: bool = False):
+                 rr: bool = False, primary: bool = False):
     """shoot_rays stage (render_wavefront.cpp:139-314) as ONE device
     program per bounce. The queue length returns to the host between
     bounces — the same bounce-synchronous structure as the reference's
     shared-USM readback (render_wavefront.cpp:144), except the whole
-    queue state stays on device."""
+    queue state stays on device. `primary` is a static flag selecting
+    the coherent-packet kernel config (trace.V5_PRIMARY) for bounce 0."""
     st = state[:15] + (jnp.zeros((1,), jnp.int32),)
-    out = _bounce(scene, key_lane, st, bounce_idx, capacity, rr=rr)
+    out = _bounce(scene, key_lane, st, bounce_idx, capacity, rr=rr,
+                  primary=primary)
     return out
 
 
@@ -359,7 +363,8 @@ def render_wavefront(scene, cam: Camera, *, width: int, height: int,
             if state[0].shape[0] != b:
                 state = tuple(a[:b] for a in state[:13]) + state[13:]
             state = _bounce_step(scene, state, key_lane, bounce,
-                                 capacity=b, rr=rr)
+                                 capacity=b, rr=rr,
+                                 primary=(bounce == 0))
             count = int(state[13])
             if profile:
                 print(f"[profile] wave@{s}x{w} bounce {bounce}: "

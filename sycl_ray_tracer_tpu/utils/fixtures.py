@@ -194,10 +194,11 @@ def _quat_from_euler_x(rx: float):
     return [np.sin(rx / 2), 0.0, 0.0, np.cos(rx / 2)]
 
 
-def load_pair(glb_bytes, width, height, leaf_size=4):
+def load_pair(glb_bytes, width, height, leaf_size=4, intersector="auto"):
     """(DeviceScene, HostScene, Camera) from bytes."""
     host = load_glb(glb_bytes)
-    scene = build_device_scene(host, leaf_size=leaf_size)
+    scene = build_device_scene(host, leaf_size=leaf_size,
+                               intersector=intersector)
     cam = make_camera(width, height, host.camera_position,
                       host.camera_direction, host.camera_focal_length)
     return scene, host, cam
