@@ -39,6 +39,11 @@ def main():
     from sycl_ray_tracer_tpu.utils.gltf import load_glb
     from sycl_ray_tracer_tpu.utils.procgen import sponza_like_glb
 
+    # Backend bring-up (axon tunnel init, several seconds) is not
+    # scene build — the reference's Embree commit timing doesn't
+    # include SYCL device discovery either (app.hpp vs scene.cpp:107).
+    jax.devices()
+
     t0 = time.perf_counter()
     host = load_glb(sponza_like_glb(scale=SCALE))
     scene = build_device_scene(host)

@@ -89,9 +89,11 @@ def _compact(alive: jnp.ndarray, arrays, capacity: int,
 #   leaf_oct    (hit leaf id << 3) | octant — rays from the same BVH
 #               leaf start traversal in the same neighborhood
 #   none        compaction without sorting
+# Round-2 TPU ablation (sponza_proc 1024^2 spp16 d10, Mrays/s):
+#   none 1.25 | leaf_oct 2.99 | oct_morton 3.35 | dir6_morton 3.50
 SORT_MODE = os.environ.get("SRT_SORT_KEY",
                            "none" if os.environ.get("SRT_NO_SORT")
-                           else "oct_morton")
+                           else "dir6_morton")
 
 
 def _coherence_key(scene, o: V3, d: V3, hit_tri=None,
@@ -167,10 +169,14 @@ def _bounce(scene, key_lane, carry, bounce_idx, capacity,
     # queue capacity — the queue may be a smaller bucket, and capacity
     # would collide with a real pixel id.
     pix = jnp.where(terminated, q_id % acc.shape[0], acc.shape[0])
-    # one [N,3] row scatter-add (3 separate adds pay 3x the per-row toll)
-    acc = acc.at[pix].add(
-        jnp.stack([contrib.x, contrib.y, contrib.z], axis=1),
-        mode="drop")
+    # 3 separate 1-D scatter-adds: measured 2.3x FASTER than one
+    # [N,3] row scatter on v5e (269 vs 612 ms at 8M rows) — the
+    # packed-row economics of gather/take do NOT transfer to scatter,
+    # whose cost scales with the padded row, not the packed one.
+    acc = jnp.stack([
+        acc[:, 0].at[pix].add(contrib.x, mode="drop"),
+        acc[:, 1].at[pix].add(contrib.y, mode="drop"),
+        acc[:, 2].at[pix].add(contrib.z, mode="drop")], axis=1)
 
     alive = in_q & ~miss & cont & ~term_rr
     new_o = o + d * hit.t

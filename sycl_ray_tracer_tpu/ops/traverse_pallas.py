@@ -80,9 +80,12 @@ def _packet_kernel(children_ref, leaves_ref,
              > nact).astype(jnp.int32)
     oct_s = (oct_x << 2) | (oct_y << 1) | oct_z
 
-    # Inactive lanes carry t_best = 0: they can never pass a slab or MT
-    # test, so they add nothing to the packet's union visit set.
-    t0 = jnp.where(active, jnp.float32(BIG), jnp.float32(0.0))
+    # Inactive lanes carry t_best = -BIG: no slab test (tmin < t_best)
+    # or MT test can ever pass, so they add nothing to the packet's
+    # union visit set. (t_best = 0 was NOT enough: a stale origin
+    # inside a node's box gives tmin < 0 and the packet would walk the
+    # whole subtree around dead lanes — ADVICE round 1.)
+    t0 = jnp.where(active, jnp.float32(BIG), jnp.float32(-BIG))
 
     rows = PACKET_ROWS
     stack_ref[0] = 0  # root

@@ -74,7 +74,20 @@ def main():
 
     from sycl_ray_tracer_tpu.ops.traverse_pallas2 import traverse_packets2
     from sycl_ray_tracer_tpu.ops.traverse_pallas5 import traverse_packets5
-    impls = {"v2": traverse_packets2, "v5": traverse_packets5}
+
+    def make_impl(spec):
+        # "v2" | "v5" | "v5-k3-m4" (ki=3, ml=4)
+        if spec.startswith("v5"):
+            kw = {}
+            for part in spec.split("-")[1:]:
+                if part.startswith("k"):
+                    kw["ki"] = int(part[1:])
+                elif part.startswith("m"):
+                    kw["ml"] = int(part[1:])
+            return lambda *a, **k: traverse_packets5(*a, **k, **kw)
+        return traverse_packets2
+
+    impls = {v: make_impl(v) for v in vers}
 
     seeds = list(range(5))
     prims = [prim(s)[:2] for s in seeds]
