@@ -51,6 +51,14 @@ class DeviceScene:
     lbvh_v0: jnp.ndarray       # [LK, 3] or dummy
     lbvh_e1: jnp.ndarray       # [LK, 3] or dummy
     lbvh_e2: jnp.ndarray       # [LK, 3] or dummy
+    # Treelet tables for scenes past the single-tree VMEM limit
+    # (ops/treelets.py): one kernel pass per treelet, chained via
+    # t_init. [1,...]-shaped dummies when tl_count == 0.
+    tl_ctiles: jnp.ndarray     # [T, NT, 8, 128]
+    tl_ltiles: jnp.ndarray     # [T, LT, 8, 128]
+    tl_remap: jnp.ndarray      # [T, S] int32
+    tl_lo: jnp.ndarray         # [T, 3]
+    tl_hi: jnp.ndarray         # [T, 3]
     # Shading data in sorted leaf order, padded to L*K rows.
     tri_n: jnp.ndarray     # [LK, 3, 3] unit shading normals (world)
     tri_uv: jnp.ndarray    # [LK, 3, 2]
@@ -73,6 +81,8 @@ class DeviceScene:
     # cross-check). Static field: part of every jit cache key, so
     # switching intersectors retraces instead of reusing stale code.
     intersector: str = struct.field(pytree_node=False, default="auto")
+    tl_count: int = struct.field(pytree_node=False, default=0)
+    tl_ni: int = struct.field(pytree_node=False, default=1)
     has_tiles: bool = struct.field(pytree_node=False, default=False)
     has_sah: bool = struct.field(pytree_node=False, default=False)
     sah_ni: int = struct.field(pytree_node=False, default=1)
@@ -124,6 +134,25 @@ def build_device_scene(host: HostScene,
     sah_ni = 1
     remap = np.zeros((1,), np.int32)
     sahb = None
+
+    # Scenes whose single-tree tile tables exceed the VMEM budget go
+    # through treelets (ops/treelets.py) instead of the 100x-slower
+    # XLA fallback of round 1. ~44 packed bytes/tri measured at K=8.
+    from sycl_ray_tracer_tpu.ops import treelets as _tl
+
+    tl_limit = int(os.environ.get("SRT_TREELET_THRESHOLD_TRIS",
+                                  1_000_000))
+    want_treelets = (leaf_size == 8 and host.num_triangles > tl_limit
+                     and os.environ.get("SRT_NO_TREELETS") != "1")
+    tl = None
+    if want_treelets:
+        validm0 = order >= 0
+        inv_morton = np.zeros((host.num_triangles,), np.int32)
+        inv_morton[order[validm0]] = np.nonzero(validm0)[0].astype(
+            np.int32)
+        tl = _tl.build_treelets(host.tri_v, inv_morton, leaf_size)
+        has_tiles = False  # skip the (unused) single-tree SAH tiles
+
     if (has_tiles and host.num_triangles
             and os.environ.get("SRT_NO_SAH") != "1"):
         sahb = _sah.build_sah(host.tri_v, leaf_size)
@@ -189,6 +218,20 @@ def build_device_scene(host: HostScene,
         dummy = jnp.zeros((1, 3), jnp.float32)
         lbvh_lo = lbvh_hi = lbvh_v0 = lbvh_e1 = lbvh_e2 = dummy
 
+    if tl is not None:
+        tl_ctiles = jnp.asarray(tl.ctiles)
+        tl_ltiles = jnp.asarray(tl.ltiles)
+        tl_remap = jnp.asarray(tl.remap)
+        tl_lo = jnp.asarray(tl.lo)
+        tl_hi = jnp.asarray(tl.hi)
+        tl_count, tl_ni = tl.count, tl.ni
+    else:
+        z = jnp.zeros((1, 1, 8, 128), jnp.float32)
+        tl_ctiles = tl_ltiles = z
+        tl_remap = jnp.zeros((1, 1), jnp.int32)
+        tl_lo = tl_hi = jnp.zeros((1, 3), jnp.float32)
+        tl_count, tl_ni = 0, 1
+
     m = host.materials
     return DeviceScene(
         bvh_nodes=jnp.asarray(bvh.nodes),
@@ -199,6 +242,8 @@ def build_device_scene(host: HostScene,
         bvh_remap=jnp.asarray(remap),
         lbvh_lo=lbvh_lo, lbvh_hi=lbvh_hi,
         lbvh_v0=lbvh_v0, lbvh_e1=lbvh_e1, lbvh_e2=lbvh_e2,
+        tl_ctiles=tl_ctiles, tl_ltiles=tl_ltiles, tl_remap=tl_remap,
+        tl_lo=tl_lo, tl_hi=tl_hi, tl_count=tl_count, tl_ni=tl_ni,
         intersector=intersector,
         has_tiles=has_tiles,
         has_sah=has_sah,

@@ -74,6 +74,59 @@ V5_PRIMARY = (4, 1, 2)   # (rows, ki, ml)
 V5_BOUNCE = (8, 2, 3)
 
 
+def _intersect_treelets(scene, o: V3, d: V3, active, primary: bool,
+                        rows: int | None = None) -> Hit:
+    """Chained per-treelet kernel passes (ops/treelets.py design).
+
+    Pass i runs the v5 kernel over treelet i's tables with t_init =
+    the best hit so far; a per-lane slab test against the treelet's
+    root AABB deactivates lanes that cannot improve. The kernel
+    reports tri >= 0 only for strictly closer hits, so combining is a
+    select. Hit ids remap from treelet-local slots to the canonical
+    Morton order every shading array uses."""
+    from sycl_ray_tracer_tpu.ops.intersect import BIG
+    from sycl_ray_tracer_tpu.ops.traverse_pallas5 import (
+        traverse_packets5)
+
+    r = o.x.shape[0]
+    act0 = (jnp.ones((r,), bool) if active is None
+            else active.astype(bool))
+    rb, ki, ml = V5_PRIMARY if primary else V5_BOUNCE
+    inv = lambda a: jnp.where(jnp.abs(a) > 1e-20, 1.0 / a, 1e20)
+    ix, iy, iz = inv(d.x), inv(d.y), inv(d.z)
+
+    t_cur = jnp.full((r,), BIG, jnp.float32)
+    tri_cur = jnp.full((r,), -1, jnp.int32)
+    u_cur = jnp.zeros((r,), jnp.float32)
+    v_cur = jnp.zeros((r,), jnp.float32)
+    for i in range(scene.tl_count):
+        lo, hi = scene.tl_lo[i], scene.tl_hi[i]
+        t1 = (lo[0] - o.x) * ix
+        t2 = (hi[0] - o.x) * ix
+        tmin = jnp.minimum(t1, t2)
+        tmax = jnp.maximum(t1, t2)
+        t1 = (lo[1] - o.y) * iy
+        t2 = (hi[1] - o.y) * iy
+        tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
+        tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
+        t1 = (lo[2] - o.z) * iz
+        t2 = (hi[2] - o.z) * iz
+        tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
+        tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
+        act_i = act0 & (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < t_cur)
+        hit = traverse_packets5(scene.tl_ctiles[i], scene.tl_ltiles[i],
+                                scene.tl_ni, scene.leaf_size, o, d,
+                                active=act_i, rows=rows or rb,
+                                ki=ki, ml=ml, t_init=t_cur)
+        better = hit.tri >= 0
+        tri_i = jnp.take(scene.tl_remap[i], jnp.maximum(hit.tri, 0))
+        t_cur = jnp.where(better, hit.t, t_cur)
+        tri_cur = jnp.where(better, tri_i, tri_cur)
+        u_cur = jnp.where(better, hit.u, u_cur)
+        v_cur = jnp.where(better, hit.v, v_cur)
+    return Hit(t=t_cur, tri=tri_cur, u=u_cur, v=v_cur)
+
+
 def intersect_scene(scene, o: V3, d: V3,
                     active: jnp.ndarray | None = None,
                     rows: int | None = None,
@@ -86,6 +139,11 @@ def intersect_scene(scene, o: V3, d: V3,
         return traverse(scene.lbvh_lo, scene.lbvh_hi, scene.lbvh_v0,
                         scene.lbvh_e1, scene.lbvh_e2, o, d,
                         scene.leaf_size, active_in=active)
+    if scene.tl_count > 0 and jax.default_backend() == "tpu" and (
+            not os.environ.get("SRT_FORCE_XLA_TRAVERSE")
+            and os.environ.get("SRT_KERNEL") != "xla"):
+        return _intersect_treelets(scene, o, d, active, primary,
+                                   rows=rows)
     version = _packet_kernel_version(scene)
     if version in (2, 5):
         ni = scene.sah_ni if scene.has_sah else scene.bvh_ni

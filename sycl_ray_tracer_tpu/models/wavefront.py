@@ -46,8 +46,27 @@ from sycl_ray_tracer_tpu.ops import rng as _rng
 from sycl_ray_tracer_tpu.ops.vec import V3, linear_to_gamma, normalize, where
 
 
+def _pack_f16_pair(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Two f32 lanes -> one f32 lane holding 2 f16 (round-to-nearest)."""
+    ah = jax.lax.bitcast_convert_type(
+        a.astype(jnp.float16), jnp.uint16).astype(jnp.uint32)
+    bh = jax.lax.bitcast_convert_type(
+        b.astype(jnp.float16), jnp.uint16).astype(jnp.uint32)
+    return jax.lax.bitcast_convert_type(ah | (bh << 16), jnp.float32)
+
+
+def _unpack_f16_pair(p: jnp.ndarray):
+    w = jax.lax.bitcast_convert_type(p, jnp.uint32)
+    a = jax.lax.bitcast_convert_type(
+        (w & 0xFFFF).astype(jnp.uint16), jnp.float16)
+    b = jax.lax.bitcast_convert_type(
+        (w >> 16).astype(jnp.uint16), jnp.float16)
+    return a.astype(jnp.float32), b.astype(jnp.float32)
+
+
 def _compact(alive: jnp.ndarray, arrays, capacity: int,
-             sort_key: jnp.ndarray | None = None):
+             sort_key: jnp.ndarray | None = None,
+             f16_fields: tuple = ()):
     """Stream compaction: returns (new_arrays, count).
 
     Without a key: exclusive-cumsum + scatter-with-drop (order
@@ -57,16 +76,35 @@ def _compact(alive: jnp.ndarray, arrays, capacity: int,
     on diffuse bounces (the TPU analog of the reference's
     sort-by-material idea it never implemented, PLAN.md).
 
-    The payload moves as ONE PACKED [N, 13] array: measured on v5e,
+    The payload moves as ONE PACKED [N, W] array: measured on v5e,
     gather/scatter cost is per ROW with a large fixed part and nearly
     flat in width to ~16 floats, so 13 separate [N] moves cost ~13x one
     packed move (1.69 -> 2.7 Mrays/s end-to-end). int32 lanes ride
     along bitcast to f32.
+
+    f16_fields: indices whose values ride as HALF-precision pairs (two
+    per f32 lane) — the analog of the reference's fp16 RayData
+    (camera.hpp:12-63, dir/attenuation/radiance in sycl::half), behind
+    the SRT_F16_QUEUE flag. Values round-trip f32->f16->f32 through
+    every bounce exactly like the reference's do.
     """
-    packed = jnp.stack(
-        [a if a.dtype == jnp.float32 else
-         jax.lax.bitcast_convert_type(a, jnp.float32) for a in arrays],
-        axis=1)
+    f16 = list(f16_fields)
+    pairs = [(f16[i], f16[i + 1]) for i in range(0, len(f16) - 1, 2)]
+    tail = f16[-1] if len(f16) % 2 else None
+    f16set = set(f16)
+
+    cols = []
+    for i, a in enumerate(arrays):
+        if i in f16set:
+            continue
+        cols.append(a if a.dtype == jnp.float32 else
+                    jax.lax.bitcast_convert_type(a, jnp.float32))
+    for i, j in pairs:
+        cols.append(_pack_f16_pair(arrays[i], arrays[j]))
+    if tail is not None:
+        cols.append(_pack_f16_pair(arrays[tail],
+                                   jnp.zeros_like(arrays[tail])))
+    packed = jnp.stack(cols, axis=1)
     if sort_key is None:
         pos = jnp.cumsum(alive.astype(jnp.int32)) - 1
         dst = jnp.where(alive, pos, capacity)
@@ -75,9 +113,20 @@ def _compact(alive: jnp.ndarray, arrays, capacity: int,
         key = jnp.where(alive, sort_key, jnp.uint32(0xFFFFFFFF))
         perm = jnp.argsort(key)
         packed = jnp.take(packed, perm, axis=0)
-    out = [packed[:, i] if a.dtype == jnp.float32 else
-           jax.lax.bitcast_convert_type(packed[:, i], a.dtype)
-           for i, a in enumerate(arrays)]
+
+    out = [None] * len(arrays)
+    c = 0
+    for i, a in enumerate(arrays):
+        if i in f16set:
+            continue
+        out[i] = (packed[:, c] if a.dtype == jnp.float32 else
+                  jax.lax.bitcast_convert_type(packed[:, c], a.dtype))
+        c += 1
+    for i, j in pairs:
+        out[i], out[j] = _unpack_f16_pair(packed[:, c])
+        c += 1
+    if tail is not None:
+        out[tail], _ = _unpack_f16_pair(packed[:, c])
     return out, jnp.sum(alive.astype(jnp.int32))
 
 
@@ -125,7 +174,8 @@ def _coherence_key(scene, o: V3, d: V3, hit_tri=None,
 
 
 def _bounce(scene, key_lane, carry, bounce_idx, capacity,
-            rr: bool = False, primary: bool = False):
+            rr: bool = False, primary: bool = False,
+            f16_queue: bool = False):
     """One wavefront iteration over the live queue prefix."""
     (q_ox, q_oy, q_oz, q_dx, q_dy, q_dz,
      q_ar, q_ag, q_ab, q_rr, q_rg, q_rb, q_id, count, acc, rays) = carry
@@ -188,7 +238,8 @@ def _bounce(scene, key_lane, carry, bounce_idx, capacity,
         new_att.x, new_att.y, new_att.z,
         rad_hit.x, rad_hit.y, rad_hit.z,
         q_id,
-    ], capacity, sort_key=sort_key)
+    ], capacity, sort_key=sort_key,
+        f16_fields=tuple(range(3, 12)) if f16_queue else ())
     # Clamp the tally slot: the host-driven path passes a length-1
     # tally (it counts rays host-side); the traced path passes
     # [max_depth].
@@ -303,10 +354,12 @@ def _gen_queue(scene, cam: Camera, seed, sample_offset, *, width: int,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("capacity", "rr", "primary"),
+                   static_argnames=("capacity", "rr", "primary",
+                                    "f16_queue"),
                    donate_argnums=(1,))
 def _bounce_step(scene, state, key_lane, bounce_idx, *, capacity: int,
-                 rr: bool = False, primary: bool = False):
+                 rr: bool = False, primary: bool = False,
+                 f16_queue: bool = False):
     """shoot_rays stage (render_wavefront.cpp:139-314) as ONE device
     program per bounce. The queue length returns to the host between
     bounces — the same bounce-synchronous structure as the reference's
@@ -315,7 +368,7 @@ def _bounce_step(scene, state, key_lane, bounce_idx, *, capacity: int,
     the coherent-packet kernel config (trace.V5_PRIMARY) for bounce 0."""
     st = state[:15] + (jnp.zeros((1,), jnp.int32),)
     out = _bounce(scene, key_lane, st, bounce_idx, capacity, rr=rr,
-                  primary=primary)
+                  primary=primary, f16_queue=f16_queue)
     return out
 
 
@@ -345,6 +398,10 @@ def render_wavefront(scene, cam: Camera, *, width: int, height: int,
     # on v5e at 1024x1024; override with SRT_WAVE_RAYS).
     wave_rays = int(os.environ.get("SRT_WAVE_RAYS", str(16 << 20)))
     waves = max(1, min(spp, wave_rays // n))
+    # Half-precision queue payload (dir/att/radiance), the reference's
+    # fp16 RayData quirk (camera.hpp:12-63). Off by default: measured
+    # RMSE-neutral but also perf-neutral on v5e (see PLAN_TPU.md).
+    f16_queue = os.environ.get("SRT_F16_QUEUE") == "1"
 
     def bucket_of(c, cap):
         # Survivors are a compacted prefix, so later bounces can run
@@ -370,7 +427,8 @@ def render_wavefront(scene, cam: Camera, *, width: int, height: int,
                 state = tuple(a[:b] for a in state[:13]) + state[13:]
             state = _bounce_step(scene, state, key_lane, bounce,
                                  capacity=b, rr=rr,
-                                 primary=(bounce == 0))
+                                 primary=(bounce == 0),
+                                 f16_queue=f16_queue)
             count = int(state[13])
             if profile:
                 print(f"[profile] wave@{s}x{w} bounce {bounce}: "

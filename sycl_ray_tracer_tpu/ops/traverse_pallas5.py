@@ -64,7 +64,7 @@ def _bcast_gather(tile, lane, n=8):
 
 def _traverse_subpacket5(ctiles_ref, ltiles_ref,
                          ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-                         act_ref,
+                         act_ref, t0_ref,
                          t_ref, tri_ref, u_ref, v_ref,
                          stack_ref, lq_ref, keybuf_ref, idbuf_ref,
                          *, ni: int, k: int, rb: int, ki: int, ml: int,
@@ -83,8 +83,12 @@ def _traverse_subpacket5(ctiles_ref, ltiles_ref,
     iy = [inv(a) for a in dy]
     iz = [inv(a) for a in dz]
 
-    t0 = [jnp.where(a, jnp.float32(BIG), jnp.float32(-BIG))
-          for a in act]
+    # t_best starts from t0 (BIG for a standalone traversal; a prior
+    # treelet pass's result when chaining — ops/treelets.py): only
+    # strictly closer hits are reported, so tri stays -1 when the
+    # incumbent survives. Inactive lanes get -BIG (can never pass).
+    t0 = [jnp.where(a, t0_ref[r:r + 1, :], jnp.float32(-BIG))
+          for r, a in zip(rows, act)]
     tm1 = [jnp.full((1, 128), -1, jnp.int32) for _ in range(rb)]
     zz = [jnp.zeros((1, 128), jnp.float32) for _ in range(rb)]
 
@@ -258,13 +262,13 @@ def _traverse_subpacket5(ctiles_ref, ltiles_ref,
 
 def _packet_kernel5(ctiles_ref, ltiles_ref,
                     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-                    act_ref, t_ref, tri_ref, u_ref, v_ref,
+                    act_ref, t0_ref, t_ref, tri_ref, u_ref, v_ref,
                     stack_ref, lq_ref, keybuf_ref, idbuf_ref,
                     *, ni: int, k: int, rb: int, ki: int, ml: int):
     for s in range(8 // rb):
         _traverse_subpacket5(
             ctiles_ref, ltiles_ref, ox_ref, oy_ref, oz_ref,
-            dx_ref, dy_ref, dz_ref, act_ref,
+            dx_ref, dy_ref, dz_ref, act_ref, t0_ref,
             t_ref, tri_ref, u_ref, v_ref,
             stack_ref, lq_ref, keybuf_ref, idbuf_ref,
             ni=ni, k=k, rb=rb, ki=ki, ml=ml, row0=s * rb)
@@ -278,8 +282,12 @@ def traverse_packets5(ctiles: jnp.ndarray, ltiles: jnp.ndarray,
                       active: jnp.ndarray | None = None,
                       rows: int | None = None,
                       ki: int | None = None,
-                      ml: int | None = None) -> Hit:
-    """Drop-in alternative to traverse_packets2 (same tables/API)."""
+                      ml: int | None = None,
+                      t_init: jnp.ndarray | None = None) -> Hit:
+    """Drop-in alternative to traverse_packets2 (same tables/API).
+
+    t_init: optional [R] incumbent hit distances (treelet chaining,
+    ops/treelets.py) — only strictly closer hits are reported."""
     rb = rows or PACKET_ROWS5
     ki = ki or KI
     ml = ml or ML
@@ -298,8 +306,11 @@ def traverse_packets5(ctiles: jnp.ndarray, ltiles: jnp.ndarray,
 
     act = (jnp.ones((r,), jnp.int32) if active is None
            else active.astype(jnp.int32))
+    t0 = (jnp.full((r,), BIG, jnp.float32) if t_init is None
+          else t_init.astype(jnp.float32))
     args = (prep(o.x), prep(o.y), prep(o.z),
-            prep(d.x), prep(d.y), prep(d.z), prep(act, 0))
+            prep(d.x), prep(d.y), prep(d.z), prep(act, 0),
+            prep(t0, BIG))
 
     grid = rp // 1024
     ray_spec = pl.BlockSpec((8, 128), lambda g: (g, 0),
@@ -317,7 +328,7 @@ def traverse_packets5(ctiles: jnp.ndarray, ltiles: jnp.ndarray,
         kernel,
         grid=(grid,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
-        + [ray_spec] * 7,
+        + [ray_spec] * 8,
         out_specs=[ray_spec] * 4,
         out_shape=out_shape,
         scratch_shapes=[pltpu.SMEM((_STACK,), jnp.int32),

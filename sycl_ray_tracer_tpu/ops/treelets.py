@@ -1,0 +1,151 @@
+"""Treelet decomposition for scenes too large for one VMEM-resident BVH.
+
+The packet kernels (traverse_pallas*.py) keep the whole node/leaf tile
+tables in VMEM, which caps a single tree at ~1.1M triangles
+(models/trace.py VMEM_TABLE_LIMIT_BYTES). Past that, round 1 fell back
+to the XLA traversal at ~0.1-1 Mrays/s — a 100x cliff. This module
+removes the cliff the TPU-native way:
+
+- The scene is PARTITIONED SPATIALLY on the host (recursive largest-
+  axis centroid median split) into chunks whose packed tile tables fit
+  the VMEM budget.
+- Each chunk gets its own independent SAH BVH via the native builder
+  (ops/sah.py; Morton-heap fallback when the native lib is absent),
+  packed with the same pack_tiles_np layout the kernels already read.
+- Traversal runs one kernel pass per treelet over the SAME ray packets,
+  CHAINED through the kernel's t_init input: pass i starts with pass
+  i-1's best hit distances, so earlier hits cull later treelets'
+  subtrees, and a per-lane root-AABB slab test deactivates lanes that
+  cannot intersect the treelet at all (models/trace.py).
+- All treelets share one static id threshold (`ni`) and padded table
+  shape, so every pass reuses ONE compiled kernel.
+
+Fills the role of Embree's out-of-core-scale rtcIntersect on
+arbitrarily large scenes (the reference renders minecraft.glb this way,
+/root/reference/benchmark.py:8); the treelet idea itself is the
+standard BVH partitioning used by GPU out-of-core tracers.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import NamedTuple
+
+import numpy as np
+
+from sycl_ray_tracer_tpu.ops import sah as _sah
+from sycl_ray_tracer_tpu.ops import wbvh as _wbvh
+
+# ~44 bytes/tri of packed tiles measured at K=8 (round 1: 1.1M tris ~
+# 48MB); default chunks of <=600K tris keep each treelet's tables near
+# 26MB, leaving VMEM room for ray blocks + scratch.
+
+
+def _max_tris() -> int:
+    # read at call time, not import (env knobs must stay live — the
+    # round-1 SRT_NO_SORT import-time read was flagged for this)
+    return int(os.environ.get("SRT_TREELET_MAX_TRIS", 600_000))
+
+
+class Treelets(NamedTuple):
+    ctiles: np.ndarray   # [T, NT, 8, 128] float32
+    ltiles: np.ndarray   # [T, LT, 8, 128] float32
+    remap: np.ndarray    # [T, S] int32: local hit slot -> canonical
+    #                      morton slot (-1 pad)
+    lo: np.ndarray       # [T, 3] treelet root bounds
+    hi: np.ndarray       # [T, 3]
+    ni: int              # shared leaf-id threshold for every treelet
+    count: int
+
+
+def partition(tri_v: np.ndarray, max_tris: int) -> list[np.ndarray]:
+    """Recursive largest-axis centroid median split.
+
+    Returns a list of index arrays (original triangle ids) each of
+    length <= max_tris. Median split keeps the chunks balanced, so the
+    shared padded table shape wastes little."""
+    n = tri_v.shape[0]
+    cent = tri_v.mean(axis=1)
+    out = []
+
+    def rec(ids):
+        if ids.shape[0] <= max_tris:
+            out.append(ids)
+            return
+        c = cent[ids]
+        axis = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
+        order = np.argsort(c[:, axis], kind="stable")
+        half = ids.shape[0] // 2
+        rec(ids[order[:half]])
+        rec(ids[order[half:]])
+
+    rec(np.arange(n, dtype=np.int64))
+    return out
+
+
+def _build_chunk(chunk_v: np.ndarray, leaf_size: int):
+    """One chunk -> (children [NI,48], child_ids [NI,8],
+    leaves [L,9K], order [L*K] local ids, ni)."""
+    sahb = _sah.build_sah(chunk_v, leaf_size)
+    if sahb is not None:
+        leaves = _sah.leaf_rows(chunk_v, sahb.order, leaf_size)
+        return (sahb.children, sahb.child_ids, leaves, sahb.order,
+                sahb.num_internal)
+    bvh, _, _ = _wbvh.build_np(chunk_v, leaf_size)
+    child_ids = _wbvh.heap_child_ids_np(bvh.num_internal)
+    return (np.asarray(bvh.children), child_ids,
+            np.asarray(bvh.leaves), np.asarray(bvh.order),
+            bvh.num_internal)
+
+
+def build_treelets(tri_v: np.ndarray, inv_morton: np.ndarray,
+                   leaf_size: int = 8,
+                   max_tris: int | None = None) -> Treelets:
+    """Partition + per-chunk BVH build + shared-shape tile packing.
+
+    inv_morton: original tri id -> canonical Morton slot (the global
+    shading order built by models/scene.py), so every treelet's hits
+    come out in the one id space all shading arrays use."""
+    if leaf_size != 8:
+        raise ValueError("treelets require leaf_size=8 (tile layout)")
+    max_tris = max_tris or _max_tris()
+    chunks = partition(tri_v, max_tris)
+    built = []
+    for ids in chunks:
+        chunk_v = np.ascontiguousarray(tri_v[ids], np.float32)
+        children, child_ids, leaves, order, ni = _build_chunk(
+            chunk_v, leaf_size)
+        built.append((ids, children, child_ids, leaves, order, ni))
+
+    ni_shared = max(b[5] for b in built)
+    packed = []
+    for ids, children, child_ids, leaves, order, ni in built:
+        # re-key leaf children to the SHARED threshold so every
+        # treelet pass can use one compiled kernel (ni is static)
+        adj = np.where(child_ids >= ni, child_ids - ni + ni_shared,
+                       child_ids).astype(np.int32)
+        ct, lt = _wbvh.pack_tiles_np(children, adj, leaves, leaf_size)
+        rm = np.where(order >= 0,
+                      inv_morton[ids[np.maximum(order, 0)]],
+                      -1).astype(np.int32)
+        lo = tri_v[ids].reshape(-1, 3).min(axis=0)
+        hi = tri_v[ids].reshape(-1, 3).max(axis=0)
+        packed.append((ct, lt, rm, lo, hi))
+
+    t = len(packed)
+    nt = max(p[0].shape[0] for p in packed)
+    ltn = max(p[1].shape[0] for p in packed)
+    s = max(p[2].shape[0] for p in packed)
+    ctiles = np.zeros((t, nt, 8, 128), np.float32)
+    ltiles = np.zeros((t, ltn, 8, 128), np.float32)
+    remap = np.full((t, s), -1, np.int32)
+    lo = np.zeros((t, 3), np.float32)
+    hi = np.zeros((t, 3), np.float32)
+    for i, (ct, lt, rm, l, h) in enumerate(packed):
+        ctiles[i, :ct.shape[0]] = ct
+        ltiles[i, :lt.shape[0]] = lt
+        remap[i, :rm.shape[0]] = rm
+        lo[i] = l
+        hi[i] = h
+    return Treelets(ctiles=ctiles, ltiles=ltiles, remap=remap,
+                    lo=lo, hi=hi, ni=ni_shared, count=t)

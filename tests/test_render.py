@@ -173,6 +173,40 @@ def test_sponza_scale_convergence_gate():
     assert a.std() > 0.05  # actually an image, not a constant
 
 
+def test_f16_queue_payload(monkeypatch):
+    """SRT_F16_QUEUE carries dir/att/radiance as packed halves through
+    the wavefront queue — the reference's fp16 RayData quirk
+    (camera.hpp:12-63). The per-bounce f32->f16->f32 round-trip
+    perturbs the estimator; the full-image error must stay inside the
+    2e-3 RMSE budget (same budget the oracle gate uses)."""
+    from sycl_ray_tracer_tpu.models import wavefront as wf
+
+    # unit: pack/unpack round-trips f16-representable values exactly
+    import jax.numpy as jnp
+    a = jnp.asarray(np.float16([0.5, -1.25, 0.1, 65504.0]
+                               ).astype(np.float32))
+    b = jnp.asarray(np.float16([1.0, 0.0, -3.5, 2.0 ** -14]
+                               ).astype(np.float32))
+    pa, pb = wf._unpack_f16_pair(wf._pack_f16_pair(a, b))
+    assert (np.asarray(pa) == np.asarray(a)).all()
+    assert (np.asarray(pb) == np.asarray(b)).all()
+
+    glb = scenes.cube_scene_glb()
+    scene, host, cam = scenes.load_pair(glb, 96, 96)
+    kw = dict(width=96, height=96, spp=8, max_depth=8, seed=2)
+    base, base_rays = render_wavefront(scene, cam, **kw)
+    monkeypatch.setenv("SRT_F16_QUEUE", "1")
+    half, half_rays = render_wavefront(scene, cam, **kw)
+    base, half = np.asarray(base), np.asarray(half)
+    assert not (base == half).all()  # the flag actually does something
+    d = np.abs(base - half).max(axis=-1)
+    flips = d > FLIP_THRESH
+    assert flips.mean() < FLIP_FRACTION_MAX
+    keep = ~flips
+    assert float(np.sqrt(np.mean(
+        (base[keep].astype(np.float64) - half[keep]) ** 2))) < RMSE_GATE
+
+
 def test_bvh_vs_brute_renderer_paths():
     # leaf_size=1 forces deeper trees; cross-check engines still agree
     glb = scenes.dielectric_scene_glb(subdiv=0)

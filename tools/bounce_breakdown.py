@@ -85,6 +85,23 @@ def main():
         return out, new_dir.x.sum() + rad_hit.y.sum()
 
     @jax.jit
+    def stage_shade_gather(scene, hit):
+        normal, uv_u, uv_v, mat = _trace.shade_lanes(scene, hit)
+        return ((normal, uv_u, uv_v, mat),
+                normal.x.sum() + uv_u.sum() + mat.rough.sum())
+
+    @jax.jit
+    def stage_shade_scatter(scene, shx, d, key, att, rad):
+        normal, uv_u, uv_v, mat = shx
+        rad_hit = rad + mat.emissive
+        d_unit = normalize(d, eps=1e-20)
+        cont, new_dir, s_att = mats.scatter(
+            scene, mat, d_unit, normal, uv_u, uv_v, key,
+            jnp.int32(CAPTURE_BOUNCE + 2))
+        return ((cont, new_dir, att * s_att, rad_hit),
+                new_dir.x.sum() + rad_hit.y.sum())
+
+    @jax.jit
     def stage_key(scene, o, d, tri):
         k = _coherence_key(scene, o, d, hit_tri=tri)
         return k, k.astype(jnp.float32).sum()
@@ -123,6 +140,10 @@ def main():
         hit = bench("kernel", lambda: stage_kernel(scene, o, d, in_q))
         cont, new_dir, new_att, rad_hit = bench(
             "shade", lambda: stage_shade(scene, hit, d, key, att, rad))
+        shx = bench("shade/gather", lambda: stage_shade_gather(
+            scene, hit))
+        bench("shade/scatter", lambda: stage_shade_scatter(
+            scene, shx, d, key, att, rad))
         new_o = o + d * hit.t
         sk = bench("key", lambda: stage_key(scene, new_o, new_dir,
                                             hit.tri))
