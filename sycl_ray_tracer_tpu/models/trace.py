@@ -65,12 +65,13 @@ def _packet_kernel_version(scene) -> int:
     return 1 if table_bytes <= VMEM_TABLE_LIMIT_BYTES else 0
 
 
-# v5 kernel configs from the round-2 TPU sweep (PLAN_TPU.md): coherent
-# primary packets run fastest with small row blocks and minimal
-# batching (rb4 ki1 ml2: 12.1 Mrays/s); incoherent bounce packets with
-# wide blocks and deeper sync amortization (rb8 ki2 ml3: 5.15 vs v2's
-# 4.13 Mrays/s).
-V5_PRIMARY = (4, 1, 2)   # (rows, ki, ml)
+# v5 kernel configs from the round-2 TPU sweeps (PLAN_TPU.md):
+# coherent primary packets peak with 4096-ray blocks and deep
+# amortization (rb32 ki3 ml4: 12.6 Mrays/s; one stack walk serves 32
+# rows); incoherent bounce packets peak at 1024-ray blocks (rb8 ki2
+# ml3: 5.15 vs v2's 4.13 Mrays/s) — wider blocks grow the packet's
+# visit union faster than the sync amortizes (rb16 4.57, rb32 3.47).
+V5_PRIMARY = (32, 3, 4)  # (rows, ki, ml)
 V5_BOUNCE = (8, 2, 3)
 
 

@@ -265,7 +265,7 @@ def _packet_kernel5(ctiles_ref, ltiles_ref,
                     act_ref, t0_ref, t_ref, tri_ref, u_ref, v_ref,
                     stack_ref, lq_ref, keybuf_ref, idbuf_ref,
                     *, ni: int, k: int, rb: int, ki: int, ml: int):
-    for s in range(8 // rb):
+    for s in range(max(rb, 8) // rb):
         _traverse_subpacket5(
             ctiles_ref, ltiles_ref, ox_ref, oy_ref, oz_ref,
             dx_ref, dy_ref, dz_ref, act_ref, t0_ref,
@@ -291,12 +291,17 @@ def traverse_packets5(ctiles: jnp.ndarray, ltiles: jnp.ndarray,
     rb = rows or PACKET_ROWS5
     ki = ki or KI
     ml = ml or ML
-    if rb not in (1, 2, 4, 8):
-        raise ValueError("rows must be 1, 2, 4 or 8")
+    if rb not in (1, 2, 4, 8, 16, 32):
+        raise ValueError("rows must be 1, 2, 4, 8, 16 or 32")
     if not (1 <= ki <= 8 and 1 <= ml <= 8):
         raise ValueError("ki/ml must be in 1..8")
+    # rb > 8 widens the per-instance ray block so ONE stack walk
+    # serves 2048/4096 rays: per-visit cost is latency-dominated
+    # (PLAN_TPU.md), so the extra vector work largely fills stalls
+    # while the sync/scalar overhead amortizes over more rays.
+    blk = max(rb, 8)
     r = o.x.shape[0]
-    pad = (-r) % 1024
+    pad = (-r) % (blk * 128)
     rp = r + pad
 
     def prep(a, fill=0.0):
@@ -312,8 +317,8 @@ def traverse_packets5(ctiles: jnp.ndarray, ltiles: jnp.ndarray,
             prep(d.x), prep(d.y), prep(d.z), prep(act, 0),
             prep(t0, BIG))
 
-    grid = rp // 1024
-    ray_spec = pl.BlockSpec((8, 128), lambda g: (g, 0),
+    grid = rp // (blk * 128)
+    ray_spec = pl.BlockSpec((blk, 128), lambda g: (g, 0),
                             memory_space=pltpu.VMEM)
     out_shape = [
         jax.ShapeDtypeStruct((rp // 128, 128), jnp.float32),

@@ -200,16 +200,42 @@ def _node_world_matrices(gltf: dict, scene_nodes: List[int],
     return world
 
 
-def _decode_image(gltf: dict, blob: bytes, image: dict) -> np.ndarray:
-    """Decode an embedded image to TEX_RES x TEX_RES RGBA uint8.
-
-    Reference resizes every texture to 512^2 with an sRGB-aware resize
-    (image_manager.hpp:51-61). We resize with PIL in sRGB space —
-    documented minor deviation (stb converts to linear first); both land
-    on identical images for the nearest-filter lookups used at shading.
-    """
+def decode_image_bytes(raw: bytes) -> np.ndarray:
+    """Decode encoded image bytes to TEX_RES x TEX_RES RGBA uint8 with
+    an sRGB-AWARE resize, mirroring the reference's
+    stbir_resize_uint8_srgb (image_manager.hpp:51-61): color channels
+    are converted to linear, filtered there, and re-encoded; alpha is
+    filtered linearly as-is. Round 1 resized in sRGB space — a
+    documented deviation that darkened every filtered edge (the sRGB
+    average of black+white is 128; the correct linear average encodes
+    to 188). Shared by the Python and native ingest paths so they stay
+    byte-identical (tests/test_native.py)."""
     from PIL import Image
 
+    img = Image.open(io.BytesIO(raw)).convert("RGBA")
+    if img.size == (TEX_RES, TEX_RES):
+        return np.asarray(img, dtype=np.uint8)
+    a = np.asarray(img, np.float32) / 255.0
+    rgb = a[..., :3]
+    lin = np.where(rgb <= 0.04045, rgb / 12.92,
+                   ((rgb + 0.055) / 1.055) ** 2.4)
+    chans = []
+    for c in range(4):
+        src = lin[..., c] if c < 3 else a[..., 3]
+        ch = Image.fromarray(np.ascontiguousarray(src), mode="F")
+        ch = ch.resize((TEX_RES, TEX_RES), Image.BILINEAR)
+        chans.append(np.asarray(ch, np.float32))
+    out = np.stack(chans, axis=-1)
+    rgbo = np.clip(out[..., :3], 0.0, 1.0)
+    srgb = np.where(rgbo <= 0.0031308, rgbo * 12.92,
+                    1.055 * rgbo ** (1.0 / 2.4) - 0.055)
+    out = np.concatenate([srgb, out[..., 3:]], axis=-1)
+    return np.clip(np.round(out * 255.0), 0, 255).astype(np.uint8)
+
+
+def _decode_image(gltf: dict, blob: bytes, image: dict) -> np.ndarray:
+    """Extract an embedded image's bytes and decode (see
+    decode_image_bytes)."""
     if "bufferView" in image:
         view = gltf["bufferViews"][image["bufferView"]]
         base = view.get("byteOffset", 0)
@@ -219,10 +245,7 @@ def _decode_image(gltf: dict, blob: bytes, image: dict) -> np.ndarray:
         raw = base64.b64decode(image["uri"].split(",", 1)[1])
     else:
         raise ValueError("external image URIs are not supported in .glb ingest")
-    img = Image.open(io.BytesIO(raw)).convert("RGBA")
-    if img.size != (TEX_RES, TEX_RES):
-        img = img.resize((TEX_RES, TEX_RES), Image.BILINEAR)
-    return np.asarray(img, dtype=np.uint8)
+    return decode_image_bytes(raw)
 
 
 def _default_material() -> dict:

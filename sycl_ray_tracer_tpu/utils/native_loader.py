@@ -132,10 +132,11 @@ def load_glb_native(data: bytes, global_scale=(1.0, 1.0, 1.0)):
         lib.srt_scene_info(handle, sky, pos, dirn,
                            ctypes.byref(focal), ctypes.byref(has_cam))
 
-        # image decode via PIL (native hands back raw embedded bytes)
+        # image decode via PIL (native hands back raw embedded bytes);
+        # shared sRGB-aware resize keeps both ingest paths identical
         n_img = lib.srt_num_images(handle)
         if n_img:
-            from PIL import Image
+            from sycl_ray_tracer_tpu.utils.gltf import decode_image_bytes
 
             imgs = []
             for i in range(n_img):
@@ -144,10 +145,7 @@ def load_glb_native(data: bytes, global_scale=(1.0, 1.0, 1.0)):
                 lib.srt_copy_image(
                     handle, i,
                     buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
-                img = Image.open(io.BytesIO(buf.tobytes())).convert("RGBA")
-                if img.size != (TEX_RES, TEX_RES):
-                    img = img.resize((TEX_RES, TEX_RES), Image.BILINEAR)
-                imgs.append(np.asarray(img, np.uint8))
+                imgs.append(decode_image_bytes(buf.tobytes()))
             textures = np.stack(imgs)
         else:
             textures = np.zeros((1, TEX_RES, TEX_RES, 4), np.uint8)

@@ -166,9 +166,14 @@ def sponza_like_glb(scale: int = 2, seed: int = 0) -> bytes:
     return b.tobytes()
 
 
-def minecraft_like_glb(n: int = 72, seed: int = 3) -> bytes:
+def minecraft_like_glb(n: int = 360, seed: int = 3) -> bytes:
     """Voxel terrain: n x n columns of unit boxes (12 tris each) with a
-    water plane, glass blocks, and glowstone lamps. n=72 -> ~62K tris."""
+    water plane, glass blocks, and glowstone lamps. The default n=360
+    (~2.1M tris) matches the reference minecraft.glb's
+    bigger-than-Sponza scale and exceeds the single-tree VMEM limit, so
+    it exercises the treelet path (ops/treelets.py); n=72 (~82K tris)
+    is the small in-VMEM variant used when a quick voxel scene is
+    enough."""
     rs = np.random.RandomState(seed)
     b = GlbBuilder()
     grass_m = b.add_material(base_color=(0.25, 0.55, 0.2), name="grass")

@@ -133,3 +133,39 @@ def test_reference_cube_glb_default_material():
     m = host.tri_mat[0]
     assert host.materials.mtype[m] == MAT_DIFFUSE
     assert np.allclose(host.materials.albedo[m], 0.8)
+
+
+def test_srgb_aware_texture_resize():
+    """Non-512^2 textures resize sRGB-aware like the reference's
+    stbir_resize_uint8_srgb (image_manager.hpp:51-61): filtering
+    happens in LINEAR space. A 50/50 black-white blend must encode to
+    ~188, not the sRGB-space average 128 (round 1's deviation)."""
+    import io as _io
+
+    from PIL import Image
+
+    from sycl_ray_tracer_tpu.utils.gltf import TEX_RES, decode_image_bytes
+
+    # constant image: resize-invariant under any filter
+    buf = _io.BytesIO()
+    Image.new("RGBA", (64, 64), (200, 50, 10, 255)).save(buf, "PNG")
+    out = decode_image_bytes(buf.getvalue())
+    assert out.shape == (TEX_RES, TEX_RES, 4)
+    assert (out == np.array([200, 50, 10, 255], np.uint8)).all()
+
+    # 1-px black/white stripes at 1024 downscaled 2x: every output
+    # texel is a ~50/50 blend. linear avg 0.5 -> sRGB 188.
+    arr = np.zeros((1024, 1024, 4), np.uint8)
+    arr[:, ::2, :3] = 255
+    arr[..., 3] = 255
+    buf = _io.BytesIO()
+    Image.fromarray(arr).save(buf, "PNG")
+    out = decode_image_bytes(buf.getvalue())
+    grays = out[..., 0].astype(np.int32)
+    assert grays.min() >= 170 and grays.max() <= 205, (
+        grays.min(), grays.max())
+    # 512^2 inputs pass through byte-exact (no resample)
+    buf = _io.BytesIO()
+    Image.fromarray(arr[:512, :512]).save(buf, "PNG")
+    out = decode_image_bytes(buf.getvalue())
+    assert (out == arr[:512, :512]).all()
