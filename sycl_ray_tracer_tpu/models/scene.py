@@ -63,6 +63,13 @@ class DeviceScene:
     tri_n: jnp.ndarray     # [LK, 3, 3] unit shading normals (world)
     tri_uv: jnp.ndarray    # [LK, 3, 2]
     tri_mat: jnp.ndarray   # [LK] int32
+    # Packed shading table, TRANSPOSED (component-major): everything
+    # one bounce's shading gather needs, fetched with ONE lane-axis
+    # gather whose [25, R] result keeps rays in the 128-lane dim (a
+    # row-major [R, 25+] result is lane-PADDED to 128 — +8.6 GB at a
+    # 16M-ray wave, the round-2 OOM). Rows: 0-8 normals, 9-14 uv,
+    # 15 mtype, 16-18 albedo, 19 tex, 20 rough, 21 ior, 22-24 emissive.
+    shade_tbl: jnp.ndarray  # [25, LK] float32
     # Material table (SoA tagged union; utils/gltf.py classification)
     mat_type: jnp.ndarray      # [M] int32 (0 diffuse, 1 metallic, 2 dielectric)
     mat_albedo: jnp.ndarray    # [M, 3]
@@ -233,7 +240,25 @@ def build_device_scene(host: HostScene,
         tl_count, tl_ni = 0, 1
 
     m = host.materials
+    # Packed per-triangle shading table: ONE lane-axis gather per
+    # bounce replaces the [R,3,3]+[R,3,2] takes and the whole
+    # tri_mat -> material-table gather chain. Measured on v5e at 16M
+    # rays: 249 ms vs 449 ms for just the two shaped takes (PLAN_TPU).
+    # Values are bit-identical to the unpacked path (ints stored as
+    # exact small f32).
+    lk = tri_n.shape[0]
+    stbl = np.zeros((25, lk), np.float32)
+    stbl[0:9] = tri_n.reshape(lk, 9).T
+    stbl[9:15] = tri_uv.reshape(lk, 6).T
+    if len(m.mtype):
+        stbl[15] = m.mtype[tri_mat].astype(np.float32)
+        stbl[16:19] = m.albedo[tri_mat].T
+        stbl[19] = m.tex_id[tri_mat].astype(np.float32)
+        stbl[20] = m.roughness[tri_mat]
+        stbl[21] = m.ior[tri_mat]
+        stbl[22:25] = m.emissive[tri_mat].T
     return DeviceScene(
+        shade_tbl=jnp.asarray(stbl),
         bvh_nodes=jnp.asarray(bvh.nodes),
         bvh_children=jnp.asarray(bvh.children),
         bvh_leaves=jnp.asarray(bvh.leaves),

@@ -210,24 +210,31 @@ def shade_lanes(scene, hit: Hit):
     lanes; callers mask).
 
     Parity: barycentric normal/UV interpolation + normalize of
-    trace_ray.hpp:32-59. NOTE a packed [R,16] single-gather variant was
-    tried in round 2 and OOM'd: XLA spills wide gather results through
-    lane-padded remat copies (4 GB at 8M rays) — the [R,3,3]/[R,3,2]
-    takes below keep linear layouts."""
+    trace_ray.hpp:32-59. ONE lane-axis gather from the TRANSPOSED
+    packed table (scene.shade_tbl [25, LK]) supplies normals, uv, and
+    the baked per-triangle material constants: 249 ms at a 16M-ray
+    wave vs 449 ms for just the two round-1 shaped takes. Row-major
+    packed gathers ([R, 25+]) are lane-PADDED to 128 and OOM at 16M
+    rays (+8.6 GB) — the ray dim must stay in lanes."""
     safe_tri = jnp.maximum(hit.tri, 0)
-    n_rows = jnp.take(scene.tri_n, safe_tri, axis=0)    # [R, 3, 3]
-    uv_rows = jnp.take(scene.tri_uv, safe_tri, axis=0)  # [R, 3, 2]
+    g = jnp.take(scene.shade_tbl, safe_tri, axis=1)     # [25, R]
+    c = [g[i] for i in range(25)]
     w = 1.0 - hit.u - hit.v
     normal = normalize(V3(
-        w * n_rows[:, 0, 0] + hit.u * n_rows[:, 1, 0] + hit.v * n_rows[:, 2, 0],
-        w * n_rows[:, 0, 1] + hit.u * n_rows[:, 1, 1] + hit.v * n_rows[:, 2, 1],
-        w * n_rows[:, 0, 2] + hit.u * n_rows[:, 1, 2] + hit.v * n_rows[:, 2, 2],
+        w * c[0] + hit.u * c[3] + hit.v * c[6],
+        w * c[1] + hit.u * c[4] + hit.v * c[7],
+        w * c[2] + hit.u * c[5] + hit.v * c[8],
     ), eps=1e-20)
-    uv_u = (w * uv_rows[:, 0, 0] + hit.u * uv_rows[:, 1, 0]
-            + hit.v * uv_rows[:, 2, 0])
-    uv_v = (w * uv_rows[:, 0, 1] + hit.u * uv_rows[:, 1, 1]
-            + hit.v * uv_rows[:, 2, 1])
-    mat = mats.gather_materials(scene, hit.tri)
+    uv_u = w * c[9] + hit.u * c[11] + hit.v * c[13]
+    uv_v = w * c[10] + hit.u * c[12] + hit.v * c[14]
+    mat = mats.MatLanes(
+        mtype=c[15].astype(jnp.int32),
+        albedo=V3(c[16], c[17], c[18]),
+        tex=c[19].astype(jnp.int32),
+        rough=c[20],
+        ior=c[21],
+        emissive=V3(c[22], c[23], c[24]),
+    )
     return normal, uv_u, uv_v, mat
 
 
