@@ -51,13 +51,20 @@ def main():
     ap.add_argument("--width", type=int, default=1024)
     ap.add_argument("--height", type=int, default=1024)
     ap.add_argument("--full", action="store_true",
-                    help="reference matrix: depths 10..50, samples 32..512")
+                    help="reference matrix: the exact 9 (depth, spp) "
+                         "pairs of /root/reference/benchmark.py "
+                         "(36 avg rows over 2 scenes x 2 renderers)")
     ap.add_argument("--renderers", nargs="*",
                     default=["megakernel", "wavefront"])
     args = ap.parse_args()
 
-    depths = [10, 20, 30, 40, 50] if args.full else args.depths
-    samples = [32, 128, 256, 512] if args.full else args.samples
+    if args.full:
+        # verbatim reference depth_samples list, including its
+        # duplicated (10, 128) row (benchmark.py:6-19)
+        pairs = [(10, 128), (20, 128), (30, 128), (40, 128), (50, 128),
+                 (10, 32), (10, 128), (10, 256), (10, 512)]
+    else:
+        pairs = [(d, s) for d in args.depths for s in args.samples]
 
     raw_rows = []
     avg_rows = []
@@ -65,26 +72,25 @@ def main():
         for renderer, flag in (("megakernel", "-m"), ("wavefront", "-w")):
             if renderer not in args.renderers:
                 continue
-            for d in depths:
-                for s in samples:
-                    per_run = []
-                    for r in range(args.runs + 1):
-                        t, total, mrays = run_once(
-                            scene, flag, d, s, args.width, args.height)
-                        print(f"{scene} {renderer} d={d} s={s} run={r}: "
-                              f"{mrays:.2f} Mrays/s"
-                              + (" (warm-up, discarded)" if r == 0 else ""),
-                              flush=True)
-                        row = [renderer, scene, d, s, r, t, mrays, total]
-                        raw_rows.append(row)
-                        if r > 0:
-                            per_run.append((t, mrays, total))
-                    avg_rows.append([
-                        renderer, scene, d, s,
-                        statistics.mean(x[0] for x in per_run),
-                        statistics.mean(x[1] for x in per_run),
-                        statistics.mean(x[2] for x in per_run),
-                    ])
+            for d, s in pairs:
+                per_run = []
+                for r in range(args.runs + 1):
+                    t, total, mrays = run_once(
+                        scene, flag, d, s, args.width, args.height)
+                    print(f"{scene} {renderer} d={d} s={s} run={r}: "
+                          f"{mrays:.2f} Mrays/s"
+                          + (" (warm-up, discarded)" if r == 0 else ""),
+                          flush=True)
+                    row = [renderer, scene, d, s, r, t, mrays, total]
+                    raw_rows.append(row)
+                    if r > 0:
+                        per_run.append((t, mrays, total))
+                avg_rows.append([
+                    renderer, scene, d, s,
+                    statistics.mean(x[0] for x in per_run),
+                    statistics.mean(x[1] for x in per_run),
+                    statistics.mean(x[2] for x in per_run),
+                ])
 
     with open("benchmark_raw.csv", "w", newline="") as f:
         w = csv.writer(f)

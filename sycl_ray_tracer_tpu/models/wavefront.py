@@ -175,8 +175,17 @@ def _coherence_key(scene, o: V3, d: V3, hit_tri=None,
 
 def _bounce(scene, key_lane, carry, bounce_idx, capacity,
             rr: bool = False, primary: bool = False,
-            f16_queue: bool = False):
-    """One wavefront iteration over the live queue prefix."""
+            f16_queue: bool = False, deferred_acc: bool = False):
+    """One wavefront iteration over the live queue prefix.
+
+    deferred_acc (host-driven path only): instead of scatter-adding
+    every lane's contribution into the pixel accumulator each bounce
+    (pays the ~32 ns/row scatter toll on the WHOLE bucket), terminated
+    rays ride the compaction argsort into a contiguous tail segment
+    [new_count, count) sorted by pixel, carrying their contribution in
+    3 extra packed lanes; the host then runs one small scatter over
+    just that segment (_scatter_terminated). Total scatter rows per
+    wave drop from bucket x depth to ~cap."""
     (q_ox, q_oy, q_oz, q_dx, q_dy, q_dz,
      q_ar, q_ag, q_ab, q_rr, q_rg, q_rb, q_id, count, acc, rays) = carry
 
@@ -214,39 +223,63 @@ def _bounce(scene, key_lane, carry, bounce_idx, capacity,
 
     terminated = in_q & (miss | ~cont | term_rr)
     contrib = where(in_q & miss, res_miss, res_absorb)
-    # Pixel = ray id mod accumulator length (ids above it are extra
-    # sample waves of the same frame); drop slot = acc length, NOT
-    # queue capacity — the queue may be a smaller bucket, and capacity
-    # would collide with a real pixel id.
-    pix = jnp.where(terminated, q_id % acc.shape[0], acc.shape[0])
-    # 3 separate 1-D scatter-adds: measured 2.3x FASTER than one
-    # [N,3] row scatter on v5e (269 vs 612 ms at 8M rows) — the
-    # packed-row economics of gather/take do NOT transfer to scatter,
-    # whose cost scales with the padded row, not the packed one.
-    acc = jnp.stack([
-        acc[:, 0].at[pix].add(contrib.x, mode="drop"),
-        acc[:, 1].at[pix].add(contrib.y, mode="drop"),
-        acc[:, 2].at[pix].add(contrib.z, mode="drop")], axis=1)
 
     alive = in_q & ~miss & cont & ~term_rr
     new_o = o + d * hit.t
     new_att = new_att_full
     sort_key = _coherence_key(scene, new_o, new_dir, hit_tri=hit.tri)
-    q2, new_count = _compact(alive, [
+
+    term_cols = ()
+    if deferred_acc and sort_key is not None:
+        # 3-way key: survivors (coherence-sorted, top bit clear) <
+        # terminated (sorted by pixel) < dead pad. Survivor keys lose
+        # one morton LSB to free the top bit.
+        pix = (q_id % acc.shape[0]).astype(jnp.uint32)
+        sort_key = jnp.where(
+            terminated, jnp.uint32(0x80000000) | pix, sort_key >> 1)
+        term_cols = (contrib.x, contrib.y, contrib.z)
+    else:
+        # Pixel = ray id mod accumulator length (ids above it are
+        # extra sample waves of the same frame); drop slot = acc
+        # length, NOT queue capacity — the queue may be a smaller
+        # bucket, and capacity would collide with a real pixel id.
+        pix = jnp.where(terminated, q_id % acc.shape[0], acc.shape[0])
+        # 3 separate 1-D scatter-adds: measured 2.3x FASTER than one
+        # [N,3] row scatter on v5e (269 vs 612 ms at 8M rows) — the
+        # packed-row economics of gather/take do NOT transfer to
+        # scatter, whose cost scales with the padded row.
+        acc = jnp.stack([
+            acc[:, 0].at[pix].add(contrib.x, mode="drop"),
+            acc[:, 1].at[pix].add(contrib.y, mode="drop"),
+            acc[:, 2].at[pix].add(contrib.z, mode="drop")], axis=1)
+
+    use_deferred = bool(term_cols)
+    keep = (alive | terminated) if use_deferred else alive
+    q2, new_count = _compact(keep, [
         new_o.x, new_o.y, new_o.z,
         new_dir.x, new_dir.y, new_dir.z,
         new_att.x, new_att.y, new_att.z,
         rad_hit.x, rad_hit.y, rad_hit.z,
-        q_id,
+        q_id, *term_cols,
     ], capacity, sort_key=sort_key,
         f16_fields=tuple(range(3, 12)) if f16_queue else ())
+    term_out = None
+    if use_deferred:
+        # count only survivors; terminated rows sit in
+        # [new_count, count) awaiting the host's segment scatter
+        new_count = jnp.sum(alive.astype(jnp.int32))
+        term_out = (q2[12], q2[13], q2[14], q2[15])  # q_id, contrib
+        q2 = q2[:13]
     # Clamp the tally slot: the host-driven path passes a length-1
     # tally (it counts rays host-side); the traced path passes
     # [max_depth].
     slot = jnp.minimum(jnp.asarray(bounce_idx, jnp.int32),
                        rays.shape[0] - 1)
     rays = rays.at[slot].add(count)
-    return tuple(q2) + (new_count, acc, rays)
+    state = tuple(q2) + (new_count, acc, rays)
+    if deferred_acc:
+        return state, term_out
+    return state
 
 
 # Queue capacity per chunk (chunks processed sequentially via lax.map
@@ -367,9 +400,30 @@ def _bounce_step(scene, state, key_lane, bounce_idx, *, capacity: int,
     queue state stays on device. `primary` is a static flag selecting
     the coherent-packet kernel config (trace.V5_PRIMARY) for bounce 0."""
     st = state[:15] + (jnp.zeros((1,), jnp.int32),)
-    out = _bounce(scene, key_lane, st, bounce_idx, capacity, rr=rr,
-                  primary=primary, f16_queue=f16_queue)
-    return out
+    out, term = _bounce(scene, key_lane, st, bounce_idx, capacity,
+                        rr=rr, primary=primary, f16_queue=f16_queue,
+                        deferred_acc=True)
+    return out, term
+
+
+@functools.partial(jax.jit, static_argnames=("seg",),
+                   donate_argnums=(0,))
+def _scatter_terminated(acc, q_id, cx, cy, cz, start, lo, hi, *,
+                        seg: int):
+    """Deferred accumulation: scatter-add the [lo, hi) terminated
+    segment (rows produced by _bounce's 3-way sort) into the pixel
+    accumulator. `seg` is a pow2 bucket >= hi - lo; start is the
+    host-clamped slice origin (start + seg <= len)."""
+    n = acc.shape[0]
+    rows = jnp.arange(seg, dtype=jnp.int32) + start
+    ok = (rows >= lo) & (rows < hi)
+    qs = jax.lax.dynamic_slice(q_id, (start,), (seg,))
+    pix = jnp.where(ok, qs % n, n)
+    out = []
+    for i, c in enumerate((cx, cy, cz)):
+        cs = jax.lax.dynamic_slice(c, (start,), (seg,))
+        out.append(acc[:, i].at[pix].add(cs, mode="drop"))
+    return jnp.stack(out, axis=1)
 
 
 def render_wavefront(scene, cam: Camera, *, width: int, height: int,
@@ -425,11 +479,22 @@ def render_wavefront(scene, cam: Camera, *, width: int, height: int,
             b = bucket_of(count, cap)
             if state[0].shape[0] != b:
                 state = tuple(a[:b] for a in state[:13]) + state[13:]
-            state = _bounce_step(scene, state, key_lane, bounce,
-                                 capacity=b, rr=rr,
-                                 primary=(bounce == 0),
-                                 f16_queue=f16_queue)
-            count = int(state[13])
+            state, term = _bounce_step(scene, state, key_lane, bounce,
+                                       capacity=b, rr=rr,
+                                       primary=(bounce == 0),
+                                       f16_queue=f16_queue)
+            new_count = int(state[13])
+            if term is not None:
+                n_term = count - new_count
+                if n_term > 0:
+                    seg = 1 << max(int(n_term - 1).bit_length(), 14)
+                    seg = min(seg, b)
+                    start = min(new_count, b - seg)
+                    acc2 = _scatter_terminated(
+                        state[14], term[0], term[1], term[2], term[3],
+                        start, new_count, count, seg=seg)
+                    state = state[:14] + (acc2,) + state[15:]
+            count = new_count
             if profile:
                 print(f"[profile] wave@{s}x{w} bounce {bounce}: "
                       f"{(_time.perf_counter() - t0) * 1e3:.1f} ms, "

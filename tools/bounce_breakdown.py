@@ -113,7 +113,11 @@ def main():
 
     @jax.jit
     def stage_scatter(acc, pix, contrib):
-        a = acc.at[pix].add(contrib, mode="drop")
+        # production form (wavefront._bounce): 3 separate 1-D adds
+        a = jnp.stack([
+            acc[:, 0].at[pix].add(contrib[:, 0], mode="drop"),
+            acc[:, 1].at[pix].add(contrib[:, 1], mode="drop"),
+            acc[:, 2].at[pix].add(contrib[:, 2], mode="drop")], axis=1)
         return a, a.sum()
 
     stages = {}
