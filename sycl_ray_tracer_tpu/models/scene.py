@@ -88,6 +88,9 @@ class DeviceScene:
     # cross-check). Static field: part of every jit cache key, so
     # switching intersectors retraces instead of reusing stale code.
     intersector: str = struct.field(pytree_node=False, default="auto")
+    # node-tile format consumed by the v5 kernel: "f32" (8 lanes/node)
+    # or "bf16p" (4 lanes/node, packed conservative bf16 boxes)
+    cfmt: str = struct.field(pytree_node=False, default="f32")
     tl_count: int = struct.field(pytree_node=False, default=0)
     tl_ni: int = struct.field(pytree_node=False, default=1)
     has_tiles: bool = struct.field(pytree_node=False, default=False)
@@ -163,12 +166,26 @@ def build_device_scene(host: HostScene,
     if (has_tiles and host.num_triangles
             and os.environ.get("SRT_NO_SAH") != "1"):
         sahb = _sah.build_sah(host.tri_v, leaf_size)
+    # bf16-packed node tiles (half the VMEM, 3 fewer gathers/visit;
+    # boxes only widen, so results are identical). Measured SLOWER
+    # end-to-end on v5e (3.74 vs 3.95 Mrays/s — the in-loop unpack
+    # outweighs the saved gathers), so default OFF; it remains the
+    # right call when a 1.1-2.2M-tri scene would otherwise spill to
+    # treelets (it doubles the single-tree VMEM ceiling).
+    use_bf16_nodes = (os.environ.get("SRT_BF16_NODES", "0") == "1"
+                      and os.environ.get("SRT_KERNEL") not in (
+                          "v1", "v2"))
+    cfmt = "f32"
     if sahb is not None and sahb.num_internal + sahb.num_leaves < (
             1 << 24):
         ctiles, ltiles = wbvh.pack_tiles_np(
             sahb.children, sahb.child_ids,
             _sah.leaf_rows(host.tri_v, sahb.order, leaf_size),
             leaf_size)
+        if use_bf16_nodes:
+            ctiles = wbvh.pack_ctiles_bf16_np(sahb.children,
+                                              sahb.child_ids)
+            cfmt = "bf16p"
         # SAH hit slots -> Morton slots (one [R] gather per traversal;
         # all shading arrays stay in the canonical Morton order)
         inv_morton = np.full((host.num_triangles,), 0, np.int32)
@@ -185,6 +202,10 @@ def build_device_scene(host: HostScene,
         ctiles, ltiles = wbvh.pack_tiles_np(
             np.asarray(bvh.children), child_ids,
             np.asarray(bvh.leaves), leaf_size)
+        if use_bf16_nodes:
+            ctiles = wbvh.pack_ctiles_bf16_np(
+                np.asarray(bvh.children), child_ids)
+            cfmt = "bf16p"
     else:
         # tile layout requires K=8 and exact-f32 child ids; the v1
         # kernel / XLA traversal serve these configurations
@@ -269,7 +290,7 @@ def build_device_scene(host: HostScene,
         lbvh_v0=lbvh_v0, lbvh_e1=lbvh_e1, lbvh_e2=lbvh_e2,
         tl_ctiles=tl_ctiles, tl_ltiles=tl_ltiles, tl_remap=tl_remap,
         tl_lo=tl_lo, tl_hi=tl_hi, tl_count=tl_count, tl_ni=tl_ni,
-        intersector=intersector,
+        intersector=intersector, cfmt=cfmt,
         has_tiles=has_tiles,
         has_sah=has_sah,
         sah_ni=sah_ni,

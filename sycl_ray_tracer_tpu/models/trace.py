@@ -146,6 +146,8 @@ def intersect_scene(scene, o: V3, d: V3,
         return _intersect_treelets(scene, o, d, active, primary,
                                    rows=rows)
     version = _packet_kernel_version(scene)
+    if version == 2 and scene.cfmt != "f32":
+        version = 5  # v2 reads f32 tiles only
     if version in (2, 5):
         ni = scene.sah_ni if scene.has_sah else scene.bvh_ni
         if version == 5:
@@ -155,7 +157,7 @@ def intersect_scene(scene, o: V3, d: V3,
             hit = traverse_packets5(scene.bvh_ctiles, scene.bvh_ltiles,
                                     ni, scene.leaf_size, o, d,
                                     active=active, rows=rows or rb,
-                                    ki=ki, ml=ml)
+                                    ki=ki, ml=ml, cfmt=scene.cfmt)
         else:
             from sycl_ray_tracer_tpu.ops.traverse_pallas2 import (
                 traverse_packets2)

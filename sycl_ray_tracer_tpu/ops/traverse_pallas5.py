@@ -68,7 +68,7 @@ def _traverse_subpacket5(ctiles_ref, ltiles_ref,
                          t_ref, tri_ref, u_ref, v_ref,
                          stack_ref, lq_ref, keybuf_ref, idbuf_ref,
                          *, ni: int, k: int, rb: int, ki: int, ml: int,
-                         row0: int):
+                         row0: int, cfmt: str = "f32"):
     rows = [row0 + r for r in range(rb)]
     ox = [ox_ref[r:r + 1, :] for r in rows]
     oy = [oy_ref[r:r + 1, :] for r in rows]
@@ -121,14 +121,37 @@ def _traverse_subpacket5(ctiles_ref, ltiles_ref,
         icomb = jnp.zeros((8, 128), jnp.float32)
         for kk in range(ki):
             nd = jnp.minimum(nds[kk], ni - 1)
-            tile = ctiles_ref[nd // 16]
-            base = 8 * (nd % 16)
-            lox = _bcast_gather(tile, base + 0)
-            loy = _bcast_gather(tile, base + 1)
-            loz = _bcast_gather(tile, base + 2)
-            hix = _bcast_gather(tile, base + 3)
-            hiy = _bcast_gather(tile, base + 4)
-            hiz = _bcast_gather(tile, base + 5)
+            if cfmt == "bf16p":
+                # packed tile: 4 lanes/node — (lo,hi) per axis as two
+                # bf16 in one f32 word (bf16 bits = top 16 of f32), id.
+                # Unpacking is pure integer ops on (8,128) registers —
+                # they fill the gather latency shadow. 3 fewer
+                # broadcast-gathers per visit + half the VMEM.
+                tile = ctiles_ref[nd // 32]
+                base = 4 * (nd % 32)
+
+                def unpk(p):
+                    w = jax.lax.bitcast_convert_type(p, jnp.uint32)
+                    lo = jax.lax.bitcast_convert_type(
+                        w << 16, jnp.float32)
+                    hi = jax.lax.bitcast_convert_type(
+                        w & jnp.uint32(0xFFFF0000), jnp.float32)
+                    return lo, hi
+
+                lox, hix = unpk(_bcast_gather(tile, base + 0))
+                loy, hiy = unpk(_bcast_gather(tile, base + 1))
+                loz, hiz = unpk(_bcast_gather(tile, base + 2))
+                idlane = base + 3
+            else:
+                tile = ctiles_ref[nd // 16]
+                base = 8 * (nd % 16)
+                lox = _bcast_gather(tile, base + 0)
+                loy = _bcast_gather(tile, base + 1)
+                loz = _bcast_gather(tile, base + 2)
+                hix = _bcast_gather(tile, base + 3)
+                hiy = _bcast_gather(tile, base + 4)
+                hiz = _bcast_gather(tile, base + 5)
+                idlane = base + 6
             key_acc = jnp.full((8, 128), jnp.float32(BIG))
             for i in range(rb):
                 t1x = (lox - ox[i]) * ix[i]
@@ -153,7 +176,7 @@ def _traverse_subpacket5(ctiles_ref, ltiles_ref,
             kcomb = jnp.where(lane_i == kk,
                               jnp.broadcast_to(key, (8, 128)), kcomb)
             icomb = jnp.where(lane_i == kk,
-                              _bcast_gather(tile, base + 6), icomb)
+                              _bcast_gather(tile, idlane), icomb)
 
         # ---- M leaf visits from the ring (no readback needed) ----
         t_new = list(t_best)
@@ -264,26 +287,29 @@ def _packet_kernel5(ctiles_ref, ltiles_ref,
                     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                     act_ref, t0_ref, t_ref, tri_ref, u_ref, v_ref,
                     stack_ref, lq_ref, keybuf_ref, idbuf_ref,
-                    *, ni: int, k: int, rb: int, ki: int, ml: int):
+                    *, ni: int, k: int, rb: int, ki: int, ml: int,
+                    cfmt: str = "f32"):
     for s in range(max(rb, 8) // rb):
         _traverse_subpacket5(
             ctiles_ref, ltiles_ref, ox_ref, oy_ref, oz_ref,
             dx_ref, dy_ref, dz_ref, act_ref, t0_ref,
             t_ref, tri_ref, u_ref, v_ref,
             stack_ref, lq_ref, keybuf_ref, idbuf_ref,
-            ni=ni, k=k, rb=rb, ki=ki, ml=ml, row0=s * rb)
+            ni=ni, k=k, rb=rb, ki=ki, ml=ml, row0=s * rb,
+            cfmt=cfmt)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("ni", "leaf_size", "rows", "ki",
-                                    "ml"))
+                                    "ml", "cfmt"))
 def traverse_packets5(ctiles: jnp.ndarray, ltiles: jnp.ndarray,
                       ni: int, leaf_size: int, o: V3, d: V3,
                       active: jnp.ndarray | None = None,
                       rows: int | None = None,
                       ki: int | None = None,
                       ml: int | None = None,
-                      t_init: jnp.ndarray | None = None) -> Hit:
+                      t_init: jnp.ndarray | None = None,
+                      cfmt: str = "f32") -> Hit:
     """Drop-in alternative to traverse_packets2 (same tables/API).
 
     t_init: optional [R] incumbent hit distances (treelet chaining,
@@ -328,7 +354,7 @@ def traverse_packets5(ctiles: jnp.ndarray, ltiles: jnp.ndarray,
     ]
 
     kernel = functools.partial(_packet_kernel5, ni=ni, k=leaf_size,
-                               rb=rb, ki=ki, ml=ml)
+                               rb=rb, ki=ki, ml=ml, cfmt=cfmt)
     t, tri, u, v = pl.pallas_call(
         kernel,
         grid=(grid,),

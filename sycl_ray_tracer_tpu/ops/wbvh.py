@@ -309,6 +309,49 @@ def pack_tiles_np(children: np.ndarray, child_ids: np.ndarray,
     return ctiles, ltiles
 
 
+def _bf16_dir_bits(x: np.ndarray, up: bool) -> np.ndarray:
+    """Directed f32 -> bf16 rounding, returned as uint32 bit patterns
+    (bf16 bits in the TOP 16; low 16 zero). up=True rounds toward
+    +inf, else toward -inf — exact conservative box bounds."""
+    b = np.ascontiguousarray(x, np.float32).view(np.uint32)
+    hi16 = b >> 16
+    frac = (b & np.uint32(0xFFFF)) != 0
+    neg = (b & np.uint32(0x80000000)) != 0
+    # truncation moves magnitude toward zero: positive values shrink,
+    # negative values grow (toward +inf). Bump the 16-bit pattern by
+    # one ulp (sign-magnitude) where truncation went the wrong way.
+    bump = frac & (neg if not up else ~neg)
+    hi16 = np.where(bump, hi16 + 1, hi16).astype(np.uint32)
+    return hi16 << 16
+
+
+def pack_ctiles_bf16_np(children: np.ndarray,
+                        child_ids: np.ndarray) -> np.ndarray:
+    """bf16-packed node tiles for the v5 kernel's cfmt="bf16p":
+    [ceil(NI/32), 8, 128], node g at lanes [4g, 4g+4): three f32 words
+    each holding (lo rounded down | hi rounded up) as bf16 pairs for
+    x/y/z, then the child id (exact f32). Boxes only WIDEN (directed
+    rounding), so traversal may visit extra nodes but the closest-hit
+    result is unchanged (strict < in the MT test). Half the VMEM and
+    3 fewer gathers per visit than the f32 tiles."""
+    ni = children.shape[0]
+    ids = np.asarray(child_ids)
+    assert ids.max(initial=0) < (1 << 24), "child ids exceed exact f32"
+    boxes = children.reshape(ni, 6, 8).transpose(0, 2, 1)  # [n, j, c]
+    lo = boxes[:, :, 0:3]
+    hi = boxes[:, :, 3:6]
+    lo_b = _bf16_dir_bits(lo, up=False)
+    hi_b = _bf16_dir_bits(hi, up=True)
+    packed = ((hi_b & np.uint32(0xFFFF0000))
+              | (lo_b >> 16)).view(np.float32)      # [n, j, 3]
+    nt = -(-ni // 32)
+    node_block = np.zeros((nt * 32, 8, 4), np.float32)
+    node_block[:ni, :, 0:3] = packed
+    node_block[:ni, :, 3] = ids.astype(np.float32)
+    return node_block.reshape(nt, 32, 8, 4).transpose(
+        0, 2, 1, 3).reshape(nt, 8, 128)
+
+
 def _lowest_bit_index(m: jnp.ndarray) -> jnp.ndarray:
     """Index of the lowest set bit of m (int32, m != 0). Exact for
     8-bit masks: log2 of a power of two is exact in f32."""

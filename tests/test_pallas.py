@@ -155,3 +155,76 @@ def test_packet_kernel_active_mask(rs):
     tri_ids = np.asarray(hit.tri)
     assert (tri_ids[1::2] == -1).all()          # inactive lanes untouched
     assert (tri_ids[0::2] >= 0).all()           # active lanes hit
+
+
+def test_bf16_directed_rounding():
+    """pack_ctiles_bf16_np bounds: lo rounds toward -inf, hi toward
+    +inf, exactly one bf16 ulp at most, infinities preserved."""
+    from sycl_ray_tracer_tpu.ops.wbvh import _bf16_dir_bits
+
+    x = np.float32([1.0, 1.0000001, -1.0000001, 0.0, -0.0,
+                    3.0e38, -3.0e38, 1e-30, -1e-30, 127.9999])
+    lo = _bf16_dir_bits(x, up=False).view(np.float32)
+    hi = _bf16_dir_bits(x, up=True).view(np.float32)
+    assert (lo <= x).all() and (hi >= x).all()
+    # exact bf16 values pass through unchanged
+    exact = np.float32([1.0, 0.0, -0.0, 2.5, -128.0])
+    for arr in (_bf16_dir_bits(exact, up=False),
+                _bf16_dir_bits(exact, up=True)):
+        assert (arr.view(np.float32) == exact).all()
+    # error bounded by one bf16 ulp (relative 2^-7)
+    fin = np.isfinite(lo) & np.isfinite(hi) & (np.abs(x) > 0)
+    rel = (hi[fin] - lo[fin]) / np.abs(x[fin])
+    assert rel.max() <= 2.0 ** -6
+
+
+def test_v5_bf16p_matches_f32_tiles():
+    """The bf16-packed node format must produce the same hits as the
+    f32 tiles (boxes only widen; closest-hit is unchanged)."""
+    import jax.numpy as jnp
+
+    from sycl_ray_tracer_tpu.ops import wbvh as W
+    from sycl_ray_tracer_tpu.ops.vec import V3
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    c = rng.uniform(-5, 5, (n, 3)).astype(np.float32)
+    e1 = rng.normal(0, 0.5, (n, 3)).astype(np.float32)
+    e2 = rng.normal(0, 0.5, (n, 3)).astype(np.float32)
+    tri_v = np.stack([c, c + e1, c + e2], axis=1)
+    bvh, _, _ = W.build_np(tri_v, 8)
+    ids = W.heap_child_ids_np(bvh.num_internal)
+    ct32, lt = W.pack_tiles_np(np.asarray(bvh.children), ids,
+                               np.asarray(bvh.leaves), 8)
+    ctb = W.pack_ctiles_bf16_np(np.asarray(bvh.children), ids)
+
+    r = 1024
+    o_np = rng.uniform(-6, 6, (r, 3)).astype(np.float32)
+    d_np = rng.normal(0, 1, (r, 3)).astype(np.float32)
+    o = V3(*[jnp.asarray(o_np[:, i]) for i in range(3)])
+    d = V3(*[jnp.asarray(d_np[:, i]) for i in range(3)])
+
+    h32 = _traverse5_interpret(jnp.asarray(ct32), jnp.asarray(lt),
+                               bvh.num_internal, 8, o, d, cfmt="f32")
+    hbf = _traverse5_interpret(jnp.asarray(ctb), jnp.asarray(lt),
+                               bvh.num_internal, 8, o, d, cfmt="bf16p")
+    assert (np.asarray(h32.tri) == np.asarray(hbf.tri)).all()
+    assert np.allclose(np.asarray(h32.t), np.asarray(hbf.t),
+                       rtol=1e-6, atol=1e-6, equal_nan=True)
+
+
+def _traverse5_interpret(ct, lt, ni, k, o, d, cfmt="f32"):
+    import sycl_ray_tracer_tpu.ops.traverse_pallas5 as TP5
+    from jax.experimental import pallas as pl
+
+    orig = pl.pallas_call
+
+    def patched(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    TP5.pl.pallas_call = patched
+    try:
+        return TP5.traverse_packets5(ct, lt, ni, k, o, d, cfmt=cfmt)
+    finally:
+        TP5.pl.pallas_call = orig
