@@ -27,11 +27,13 @@ TIME_RE = re.compile(r"Time measured: ([0-9.]+) seconds")
 TOTAL_RE = re.compile(r"Total rays: ([0-9]+)")
 
 
-def run_once(scene, renderer_flag, depth, samples, width, height):
+def run_once(scene, renderer_flag, depth, samples, width, height,
+             timeout=3600):
     cmd = [sys.executable, "-m", "sycl_ray_tracer_tpu", scene,
            renderer_flag, "-d", str(depth), "-s", str(samples),
            "--width", str(width), "--height", str(height)]
-    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    out = subprocess.run(cmd, capture_output=True, text=True,
+                         timeout=timeout)
     if out.returncode != 0:
         raise RuntimeError(f"run failed: {' '.join(cmd)}\n{out.stderr[-2000:]}")
     text = out.stdout
@@ -56,6 +58,8 @@ def main():
                          "(36 avg rows over 2 scenes x 2 renderers)")
     ap.add_argument("--renderers", nargs="*",
                     default=["megakernel", "wavefront"])
+    ap.add_argument("--timeout", type=int, default=3600,
+                    help="per-run subprocess timeout (s)")
     args = ap.parse_args()
 
     if args.full:
@@ -74,23 +78,35 @@ def main():
                 continue
             for d, s in pairs:
                 per_run = []
-                for r in range(args.runs + 1):
-                    t, total, mrays = run_once(
-                        scene, flag, d, s, args.width, args.height)
-                    print(f"{scene} {renderer} d={d} s={s} run={r}: "
-                          f"{mrays:.2f} Mrays/s"
-                          + (" (warm-up, discarded)" if r == 0 else ""),
-                          flush=True)
-                    row = [renderer, scene, d, s, r, t, mrays, total]
-                    raw_rows.append(row)
-                    if r > 0:
-                        per_run.append((t, mrays, total))
-                avg_rows.append([
-                    renderer, scene, d, s,
-                    statistics.mean(x[0] for x in per_run),
-                    statistics.mean(x[1] for x in per_run),
-                    statistics.mean(x[2] for x in per_run),
-                ])
+                try:
+                    for r in range(args.runs + 1):
+                        t, total, mrays = run_once(
+                            scene, flag, d, s, args.width,
+                            args.height, timeout=args.timeout)
+                        print(f"{scene} {renderer} d={d} s={s} "
+                              f"run={r}: {mrays:.2f} Mrays/s"
+                              + (" (warm-up, discarded)"
+                                 if r == 0 else ""), flush=True)
+                        row = [renderer, scene, d, s, r, t, mrays,
+                               total]
+                        raw_rows.append(row)
+                        if r > 0:
+                            per_run.append((t, mrays, total))
+                except (RuntimeError,
+                        subprocess.TimeoutExpired) as e:
+                    # keep sweeping; a failed config gets a nan row
+                    print(f"{scene} {renderer} d={d} s={s} FAILED: "
+                          f"{str(e)[:200]}", flush=True)
+                if per_run:
+                    avg_rows.append([
+                        renderer, scene, d, s,
+                        statistics.mean(x[0] for x in per_run),
+                        statistics.mean(x[1] for x in per_run),
+                        statistics.mean(x[2] for x in per_run),
+                    ])
+                else:
+                    avg_rows.append([renderer, scene, d, s,
+                                     "nan", "nan", "nan"])
 
     with open("benchmark_raw.csv", "w", newline="") as f:
         w = csv.writer(f)
