@@ -58,7 +58,9 @@ def main():
         img, rays = render_wavefront(
             scene, cam, width=RES, height=RES, spp=SPP, max_depth=DEPTH,
             seed=seed)
-        jax.block_until_ready((img, rays))
+        # np.asarray = the only real fence on this backend
+        # (block_until_ready can return early; CLAUDE.md)
+        np.asarray(img)
         return img, int(np.asarray(rays).astype(np.int64).sum())
 
     # warm-up (compile) — discarded like the reference's run 0. Seeded

@@ -28,10 +28,14 @@ TOTAL_RE = re.compile(r"Total rays: ([0-9]+)")
 
 
 def run_once(scene, renderer_flag, depth, samples, width, height,
-             timeout=3600):
+             timeout=3600, seed=0):
+    # seed varies per run: the TPU runtime memoizes back-to-back
+    # identical executions (CLAUDE.md), which would make repeat runs
+    # of an identical config report fantasy times
     cmd = [sys.executable, "-m", "sycl_ray_tracer_tpu", scene,
            renderer_flag, "-d", str(depth), "-s", str(samples),
-           "--width", str(width), "--height", str(height)]
+           "--width", str(width), "--height", str(height),
+           "--seed", str(seed)]
     out = subprocess.run(cmd, capture_output=True, text=True,
                          timeout=timeout)
     if out.returncode != 0:
@@ -82,7 +86,8 @@ def main():
                     for r in range(args.runs + 1):
                         t, total, mrays = run_once(
                             scene, flag, d, s, args.width,
-                            args.height, timeout=args.timeout)
+                            args.height, timeout=args.timeout,
+                            seed=r)
                         print(f"{scene} {renderer} d={d} s={s} "
                               f"run={r}: {mrays:.2f} Mrays/s"
                               + (" (warm-up, discarded)"

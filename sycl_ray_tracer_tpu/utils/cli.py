@@ -144,14 +144,17 @@ def main(argv=None) -> int:
 
     if args.warmup:
         img, rays = run()
-        jax.block_until_ready((img, rays))
+        np.asarray(img)
 
+    # Sync via a REAL host transfer: on the axon backend,
+    # block_until_ready on modest outputs returns before the device
+    # finishes (CLAUDE.md), which over-reported megakernel rates by
+    # >10x — np.asarray is the only trustworthy fence.
     begin = time.perf_counter()
     img, rays = run()
-    jax.block_until_ready((img, rays))
-    secs = time.perf_counter() - begin
-
+    img = np.asarray(img)
     total_rays = int(np.asarray(rays).astype(np.int64).sum())
+    secs = time.perf_counter() - begin
     print(f"Time measured: {secs:.6f} seconds")
     print(f"Total rays: {total_rays}")
     print(f"Rays/sec: {total_rays / secs / 1e6:.2f}M")
