@@ -112,7 +112,15 @@ def main():
                 else:
                     avg_rows.append([renderer, scene, d, s,
                                      "nan", "nan", "nan"])
+                # rewrite CSVs after EVERY config: a multi-hour sweep
+                # that dies mid-way still leaves its finished rows
+                _write_csvs(raw_rows, avg_rows)
 
+    _write_csvs(raw_rows, avg_rows)
+    print("wrote benchmark_raw.csv, benchmark_avg.csv")
+
+
+def _write_csvs(raw_rows, avg_rows):
     with open("benchmark_raw.csv", "w", newline="") as f:
         w = csv.writer(f)
         w.writerow(["renderer", "scene", "depth", "samples", "run",
@@ -123,7 +131,6 @@ def main():
         w.writerow(["renderer", "scene", "depth", "samples",
                     "time_s", "mrays_per_sec", "total_rays"])
         w.writerows(avg_rows)
-    print("wrote benchmark_raw.csv, benchmark_avg.csv")
 
 
 if __name__ == "__main__":

@@ -146,6 +146,15 @@ def main(argv=None) -> int:
         img, rays = run()
         np.asarray(img)
 
+    # SRT_TRACE_DIR=<dir> captures an XLA/TPU profiler trace of the
+    # timed render (view with tensorboard / xprof) — the deep version
+    # of the reference's dormant per-phase profiler
+    # (render_wavefront.cpp:129-137); SRT_PROFILE=1 remains the
+    # lightweight per-bounce wall clock.
+    trace_dir = os.environ.get("SRT_TRACE_DIR")
+    if trace_dir:
+        jax.profiler.start_trace(trace_dir)
+
     # Sync via a REAL host transfer: on the axon backend,
     # block_until_ready on modest outputs returns before the device
     # finishes (CLAUDE.md), which over-reported megakernel rates by
@@ -155,6 +164,8 @@ def main(argv=None) -> int:
     img = np.asarray(img)
     total_rays = int(np.asarray(rays).astype(np.int64).sum())
     secs = time.perf_counter() - begin
+    if trace_dir:
+        jax.profiler.stop_trace()
     print(f"Time measured: {secs:.6f} seconds")
     print(f"Total rays: {total_rays}")
     print(f"Rays/sec: {total_rays / secs / 1e6:.2f}M")
