@@ -76,10 +76,12 @@ def main():
 
     raw_rows = []
     avg_rows = []
-    for scene in args.scenes:
-        for renderer, flag in (("megakernel", "-m"), ("wavefront", "-w")):
-            if renderer not in args.renderers:
-                continue
+    # wavefront groups run first: they are ~5x faster, so an
+    # interrupted sweep retains the most rows (CSVs rewrite per config)
+    for renderer, flag in (("wavefront", "-w"), ("megakernel", "-m")):
+        if renderer not in args.renderers:
+            continue
+        for scene in args.scenes:
             for d, s in pairs:
                 per_run = []
                 try:

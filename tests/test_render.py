@@ -217,3 +217,32 @@ def test_bvh_vs_brute_renderer_paths():
     b, _ = render_megakernel(s4, cam, width=48, height=48, spp=2,
                              max_depth=6, seed=3)
     assert rmse(np.asarray(a), np.asarray(b)) < 1e-6
+
+
+def test_scatter_terminated_segment():
+    """wavefront._scatter_terminated: adds exactly the [lo, hi) rows,
+    regardless of bucket clamping of the slice origin."""
+    import jax.numpy as jnp
+
+    from sycl_ray_tracer_tpu.models.wavefront import _scatter_terminated
+
+    n = 16          # pixels
+    cap = 64        # bucket
+    rng = np.random.default_rng(5)
+    q_id = jnp.asarray(rng.integers(0, 48, cap, dtype=np.int32))
+    cx = jnp.asarray(rng.random(cap, dtype=np.float32))
+    cy = jnp.asarray(rng.random(cap, dtype=np.float32))
+    cz = jnp.asarray(rng.random(cap, dtype=np.float32))
+
+    for lo, hi, seg in [(10, 25, 16), (0, 0, 16), (60, 64, 16),
+                        (0, 64, 64)]:
+        start = min(lo, cap - seg)
+        acc = jnp.ones((n, 3), jnp.float32)
+        out = np.asarray(_scatter_terminated(
+            acc, q_id, cx, cy, cz, start, lo, hi, seg=seg))
+        ref = np.ones((n, 3), np.float32)
+        qs = np.asarray(q_id)
+        for r in range(lo, hi):
+            ref[qs[r] % n] += np.asarray(
+                [cx[r], cy[r], cz[r]], np.float32)
+        assert np.allclose(out, ref, atol=1e-5), (lo, hi, seg)
