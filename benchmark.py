@@ -21,6 +21,7 @@ import re
 import statistics
 import subprocess
 import sys
+import time
 
 RAYS_RE = re.compile(r"Rays/sec: ([0-9.]+)M")
 TIME_RE = re.compile(r"Time measured: ([0-9.]+) seconds")
@@ -46,6 +47,42 @@ def run_once(scene, renderer_flag, depth, samples, width, height,
             float(RAYS_RE.search(text).group(1)))
 
 
+def run_once_inproc(ctx, scene, renderer, depth, samples, width,
+                    height, seed=0):
+    """One timed render sharing a process (and its XLA compilations)
+    with every other config. The axon backend's remote compiles are
+    NOT serialized by the persistent jax compile cache, so the
+    subprocess-per-run mode (the reference's structure — it times a
+    native binary) pays minutes of recompiles per run; in-process the
+    d/spp sweeps reuse the same compiled bucket programs."""
+    import numpy as np
+
+    key = scene
+    if key not in ctx:
+        from sycl_ray_tracer_tpu.models.camera import make_camera
+        from sycl_ray_tracer_tpu.models.scene import build_device_scene
+        from sycl_ray_tracer_tpu.utils.cli import resolve_scene_bytes
+        from sycl_ray_tracer_tpu.utils.gltf import load_glb
+
+        host = load_glb(resolve_scene_bytes(scene))
+        dev = build_device_scene(host)
+        ctx[key] = (dev, host)
+    dev, host = ctx[key]
+    from sycl_ray_tracer_tpu.models.camera import make_camera
+    from sycl_ray_tracer_tpu.models.renderer import get_renderer
+
+    cam = make_camera(width, height, host.camera_position,
+                      host.camera_direction, host.camera_focal_length)
+    render = get_renderer(renderer)
+    t0 = time.perf_counter()
+    img, rays = render(dev, cam, width=width, height=height,
+                       spp=samples, max_depth=depth, seed=seed)
+    np.asarray(img)  # the only real fence on this backend
+    total = int(np.asarray(rays).astype(np.int64).sum())
+    secs = time.perf_counter() - t0
+    return secs, total, total / secs / 1e6
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scenes", nargs="*",
@@ -64,7 +101,19 @@ def main():
                     default=["megakernel", "wavefront"])
     ap.add_argument("--timeout", type=int, default=3600,
                     help="per-run subprocess timeout (s)")
+    ap.add_argument("--inproc", action="store_true",
+                    help="render in-process instead of one CLI "
+                         "subprocess per run (shares compilations "
+                         "across the whole sweep; see run_once_inproc)")
     args = ap.parse_args()
+    ctx = {}
+    if args.inproc:
+        import jax
+        import os as _os
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.path.expanduser("~/.cache/jax_comp"))
 
     if args.full:
         # verbatim reference depth_samples list, including its
@@ -86,10 +135,15 @@ def main():
                 per_run = []
                 try:
                     for r in range(args.runs + 1):
-                        t, total, mrays = run_once(
-                            scene, flag, d, s, args.width,
-                            args.height, timeout=args.timeout,
-                            seed=r)
+                        if args.inproc:
+                            t, total, mrays = run_once_inproc(
+                                ctx, scene, renderer, d, s,
+                                args.width, args.height, seed=r)
+                        else:
+                            t, total, mrays = run_once(
+                                scene, flag, d, s, args.width,
+                                args.height, timeout=args.timeout,
+                                seed=r)
                         print(f"{scene} {renderer} d={d} s={s} "
                               f"run={r}: {mrays:.2f} Mrays/s"
                               + (" (warm-up, discarded)"
