@@ -459,9 +459,15 @@ def render_wavefront(scene, cam: Camera, *, width: int, height: int,
 
     def bucket_of(c, cap):
         # Survivors are a compacted prefix, so later bounces can run
-        # programs sized to the live count. Power-of-two buckets bound
-        # the number of compiled shapes; 64K floor bounds it further.
+        # programs sized to the live count. Bucket sizes are 2^k AND
+        # 3*2^(k-1) (…, 2M, 3M, 4M, 6M, 8M, …): the half-step cuts the
+        # dead-row tail from <=100% to <=50% overhead rows — early
+        # bounces sit just above a power of two (e.g. 12.4M live in a
+        # 16.7M bucket) and pay the whole gap in sort/shade row tolls.
+        # 64K floor bounds the compiled-shape count.
         b = 1 << max(int(c - 1).bit_length(), 16)
+        if c <= (b >> 2) * 3:
+            b = (b >> 2) * 3
         return min(b, cap)
 
     s = 0
