@@ -156,7 +156,15 @@ def render_megakernel(scene, cam: Camera, *, width: int, height: int,
 
     wave_rays = int(os.environ.get("SRT_WAVE_RAYS", str(8 << 20)))
     n = width * height
-    waves = max(1, min(spp, wave_rays // n))
+    # The megakernel runs lanes x max_depth bounce iterations in ONE
+    # device program; this box's runtime kills multi-minute single
+    # executions (watchdog -> UNAVAILABLE + worker crash, observed at
+    # 512^2 x 30 waves x depth 40). Cap lane-bounces per program so
+    # deep-depth configs split into more, shorter waves.
+    lane_bounces = int(os.environ.get("SRT_MK_LANE_BOUNCES",
+                                      str(64 << 20)))
+    waves = max(1, min(spp, wave_rays // n,
+                       lane_bounces // max(n * max_depth, 1)))
     accum = None
     rays = None
     s = 0
