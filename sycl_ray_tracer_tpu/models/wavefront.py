@@ -138,8 +138,12 @@ def _compact(alive: jnp.ndarray, arrays, capacity: int,
 #   leaf_oct    (hit leaf id << 3) | octant — rays from the same BVH
 #               leaf start traversal in the same neighborhood
 #   none        compaction without sorting
+#   cell_oct_morton  coarse cell | octant | fine morton — groups by
+#               place first, direction second
 # Round-2 TPU ablation (sponza_proc 1024^2 spp16 d10, Mrays/s):
 #   none 1.25 | leaf_oct 2.99 | oct_morton 3.35 | dir6_morton 3.50
+#   (with later round-2 optimizations: dir6_morton 4.10,
+#   cell_oct_morton 4.10 — place-first vs direction-first is a wash)
 SORT_MODE = os.environ.get("SRT_SORT_KEY",
                            "none" if os.environ.get("SRT_NO_SORT")
                            else "dir6_morton")
@@ -161,6 +165,13 @@ def _coherence_key(scene, o: V3, d: V3, hit_tri=None,
         return (leaf << jnp.uint32(3)) | oct_
     p = jnp.stack([o.x, o.y, o.z], axis=-1)
     m = morton30(p, scene.scene_lo, scene.scene_hi)
+    if mode == "cell_oct_morton":
+        # coarse spatial cell FIRST (top 9 morton bits = 512 cells),
+        # then direction octant, then fine position: packets form
+        # within one cell+octant instead of one global direction bin
+        return (((m >> jnp.uint32(21)) << jnp.uint32(23))
+                | (oct_ << jnp.uint32(20))
+                | ((m >> jnp.uint32(1)) & jnp.uint32(0xFFFFF)))
     if mode == "dir6_morton":
         # 2 extra direction bits per axis: dominant-component halves
         ax = jnp.abs(d.x)
