@@ -75,16 +75,20 @@ def main():
     from sycl_ray_tracer_tpu.ops.traverse_pallas2 import traverse_packets2
     from sycl_ray_tracer_tpu.ops.traverse_pallas5 import traverse_packets5
 
+    from sycl_ray_tracer_tpu.ops.traverse_pallas6 import traverse_packets6
+
     def make_impl(spec):
-        # "v2" | "v5" | "v5-k3-m4" (ki=3, ml=4)
-        if spec.startswith("v5"):
+        # "v2" | "v5" | "v5-k3-m4" (ki=3, ml=4) | "v6-k2-m2"
+        if spec.startswith(("v5", "v6")):
+            fn = traverse_packets6 if spec.startswith("v6") \
+                else traverse_packets5
             kw = {}
             for part in spec.split("-")[1:]:
                 if part.startswith("k"):
                     kw["ki"] = int(part[1:])
                 elif part.startswith("m"):
                     kw["ml"] = int(part[1:])
-            return lambda *a, **k: traverse_packets5(*a, **k, **kw)
+            return lambda *a, **k: fn(*a, **k, **kw)
         return traverse_packets2
 
     impls = {v: make_impl(v) for v in vers}
