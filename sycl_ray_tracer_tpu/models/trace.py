@@ -151,13 +151,22 @@ def intersect_scene(scene, o: V3, d: V3,
     if version in (2, 5):
         ni = scene.sah_ni if scene.has_sah else scene.bvh_ni
         if version == 5:
-            from sycl_ray_tracer_tpu.ops.traverse_pallas5 import (
-                traverse_packets5)
-            rb, ki, ml = V5_PRIMARY if primary else V5_BOUNCE
-            hit = traverse_packets5(scene.bvh_ctiles, scene.bvh_ltiles,
-                                    ni, scene.leaf_size, o, d,
-                                    active=active, rows=rows or rb,
-                                    ki=ki, ml=ml, cfmt=scene.cfmt)
+            if primary and scene.cfmt == "f32" and rows is None:
+                # coherent primaries run fastest on the dual-walk v6
+                # (12.87 vs 12.59 Mrays/s; PLAN_TPU round-2 sweeps)
+                from sycl_ray_tracer_tpu.ops.traverse_pallas6 import (
+                    traverse_packets6)
+                hit = traverse_packets6(
+                    scene.bvh_ctiles, scene.bvh_ltiles, ni,
+                    scene.leaf_size, o, d, active=active, ki=1, ml=2)
+            else:
+                from sycl_ray_tracer_tpu.ops.traverse_pallas5 import (
+                    traverse_packets5)
+                rb, ki, ml = V5_PRIMARY if primary else V5_BOUNCE
+                hit = traverse_packets5(
+                    scene.bvh_ctiles, scene.bvh_ltiles, ni,
+                    scene.leaf_size, o, d, active=active,
+                    rows=rows or rb, ki=ki, ml=ml, cfmt=scene.cfmt)
         else:
             from sycl_ray_tracer_tpu.ops.traverse_pallas2 import (
                 traverse_packets2)
