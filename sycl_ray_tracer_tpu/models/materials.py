@@ -50,33 +50,43 @@ def gather_materials(scene, tri_idx: jnp.ndarray) -> MatLanes:
     )
 
 
-def sample_texture(textures: jnp.ndarray, tex: jnp.ndarray,
+def sample_texture(scene, tex: jnp.ndarray,
                    u: jnp.ndarray, v: jnp.ndarray) -> V3:
     """Nearest-filter, repeat-wrap atlas lookup.
 
     Mirrors the reference sampler config (normalized coords, repeat,
     nearest — render_wavefront.cpp:193-197) and its unorm_int8 read
     (bytes / 255, no sRGB decode). Lanes with tex < 0 get garbage here
-    and are masked by the caller.
+    and are masked by the caller. The gather pulls ONE packed uint32
+    per lane (scene.tex_packed) — bit-identical to the [R, 4] uint8
+    row gather but a quarter of the moved bytes and no row-width
+    relayout (gather economics, PLAN_TPU.md).
     """
-    res = textures.shape[1]
+    res = scene.textures.shape[1]
     x = jnp.floor(u * res).astype(jnp.int32) % res
     y = jnp.floor(v * res).astype(jnp.int32) % res
     t = jnp.maximum(tex, 0)
-    flat = textures.reshape(-1, 4)
     idx = (t * res + y) * res + x
-    texel = jnp.take(flat, idx, axis=0).astype(jnp.float32) * (1.0 / 255.0)
-    return V3(texel[..., 0], texel[..., 1], texel[..., 2])
+    w = jnp.take(scene.tex_packed, idx, axis=0)
+    s = jnp.float32(1.0 / 255.0)
+    return V3((w & jnp.uint32(0xFF)).astype(jnp.float32) * s,
+              ((w >> jnp.uint32(8)) & jnp.uint32(0xFF)
+               ).astype(jnp.float32) * s,
+              ((w >> jnp.uint32(16)) & jnp.uint32(0xFF)
+               ).astype(jnp.float32) * s)
 
 
 def albedo_lanes(scene, mat: MatLanes, u, v) -> V3:
     solid = mat.albedo
-    # Static specialization: textureless scenes (shape [0, ...]) skip
-    # the atlas gather entirely — an [R] random-access gather costs
-    # ~65 ns/row on v5e regardless of how little it reads.
-    if scene.textures.shape[0] == 0:
+    # Static specialization: textureless scenes skip the atlas gather
+    # entirely — an [R] random-access gather costs ~65 ns/row on v5e
+    # regardless of how little it reads. has_textures is a build-time
+    # static field (the loaders always emit a >=1-entry dummy atlas,
+    # so a shape check alone would never fire — round-2 advisor).
+    if scene.textures.shape[0] == 0 or not getattr(
+            scene, "has_textures", True):
         return solid
-    tex = sample_texture(scene.textures, mat.tex, u, v)
+    tex = sample_texture(scene, mat.tex, u, v)
     return where(mat.tex >= 0, tex, solid)
 
 

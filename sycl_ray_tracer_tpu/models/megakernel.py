@@ -31,13 +31,29 @@ from sycl_ray_tracer_tpu.models import trace as _trace
 from sycl_ray_tracer_tpu.models.camera import Camera, generate_rays
 from sycl_ray_tracer_tpu.models.trace import PathState
 from sycl_ray_tracer_tpu.ops import rng as _rng
-from sycl_ray_tracer_tpu.ops.vec import linear_to_gamma, splat
+from sycl_ray_tracer_tpu.ops.vec import V3, linear_to_gamma, splat
 
 
 def _sample_one(scene, cam: Camera, px, py, lane, sample_idx, seed,
-                max_depth: int, rays, active=None, rr: bool = False):
+                max_depth: int, rays, active=None, rr: bool = False,
+                sort_every: int = 0):
     """Render one sample for every listed pixel; returns (color V3,
-    updated per-bounce ray tallies)."""
+    updated per-bounce ray tallies).
+
+    Round-3 TPU optimizations (VERDICT #5), both estimator-neutral:
+    - bounce 0 is PEELED out of the while_loop so its traversal can
+      statically select the coherent-primary kernel config (the
+      while_loop body must compile ONE intersect, so the flag can't
+      vary inside it);
+    - with sort_every=k > 0, live lanes are coherence-re-sorted (and
+      dead lanes pushed to the packet tail) every k bounces: the
+      megakernel analog of wavefront compaction. A permutation never
+      changes any lane's RNG stream or arithmetic (key/orig ride
+      along; results scatter back by orig), so images are
+      bit-identical to the unsorted megakernel. Dead-lane packets
+      cost ~2 kernel visits, so sorting recovers most of
+      compaction's benefit without shrinking the queue.
+    """
     key = _rng.make_key(
         _rng.make_key(jnp.asarray(seed, jnp.uint32),
                       jnp.asarray(sample_idx, jnp.uint32)), lane)
@@ -51,19 +67,58 @@ def _sample_one(scene, cam: Camera, px, py, lane, sample_idx, seed,
         result=splat((0.0, 0.0, 0.0), (r,)),
         done=done0,
     )
+    orig = jnp.arange(r, dtype=jnp.int32)
+
+    # ---- bounce 0 peeled: primary-tuned kernel config ----
+    if max_depth >= 1:
+        rays = rays.at[0].add(jnp.sum((~state.done).astype(jnp.int32)))
+        state = _trace.trace_step(scene, state, key, 2,  # ctr 0,1=jitter
+                                  rr=rr, bounce_idx=0, primary=True)
+
+    def resort(st, key, orig):
+        from sycl_ray_tracer_tpu.models.wavefront import (_compact,
+                                                          _coherence_key)
+        sk = _coherence_key(scene, st.o, st.d)
+        if sk is None:
+            return st, key, orig
+        cols, _ = _compact(~st.done, [
+            st.o.x, st.o.y, st.o.z, st.d.x, st.d.y, st.d.z,
+            st.att.x, st.att.y, st.att.z,
+            st.rad.x, st.rad.y, st.rad.z,
+            st.result.x, st.result.y, st.result.z,
+            key, orig, st.done.astype(jnp.int32)], r, sort_key=sk)
+        st = PathState(
+            o=V3(cols[0], cols[1], cols[2]),
+            d=V3(cols[3], cols[4], cols[5]),
+            att=V3(cols[6], cols[7], cols[8]),
+            rad=V3(cols[9], cols[10], cols[11]),
+            result=V3(cols[12], cols[13], cols[14]),
+            done=cols[17] != 0)
+        return st, cols[15], cols[16]
 
     def cond(carry):
-        i, st, _ = carry
+        i, st, _, _, _ = carry
         return (i < max_depth) & jnp.any(~st.done)
 
     def body(carry):
-        i, st, rays = carry
+        i, st, rays, key, orig = carry
+        if sort_every:
+            st, key, orig = jax.lax.cond(
+                (i - 1) % sort_every == 0,
+                resort, lambda s, k, g: (s, k, g), st, key, orig)
         rays = rays.at[i].add(jnp.sum((~st.done).astype(jnp.int32)))
-        st = _trace.trace_step(scene, st, key, i + 2,  # counters 0,1 = jitter
+        st = _trace.trace_step(scene, st, key, i + 2,
                                rr=rr, bounce_idx=i)
-        return (i + 1, st, rays)
+        return (i + 1, st, rays, key, orig)
 
-    _, state, rays = jax.lax.while_loop(cond, body, (jnp.int32(0), state, rays))
+    _, state, rays, key, orig = jax.lax.while_loop(
+        cond, body, (jnp.int32(1), state, rays, key, orig))
+    if sort_every:
+        # undo the coherence permutation: results return to pixel order
+        res = V3(*(jnp.zeros((r,), jnp.float32).at[orig].set(c)
+                   for c in (state.result.x, state.result.y,
+                             state.result.z)))
+        return res, rays
     return state.result, rays
 
 
@@ -76,7 +131,8 @@ CHUNK = 1 << 20
 
 def accumulate_megakernel(scene, cam: Camera, px, py, lane, *,
                           spp: int, max_depth: int, seed,
-                          sample_offset=0, rr: bool = False):
+                          sample_offset=0, rr: bool = False,
+                          sort_every: int = 0):
     """Linear-space accumulation over `spp` samples for the given pixel
     lanes. Returns (accum [R, 3] float32 — the SUM over samples, not the
     mean — and per-bounce ray counts [max_depth] int32)."""
@@ -101,7 +157,8 @@ def accumulate_megakernel(scene, cam: Camera, px, py, lane, *,
             (ax, ay, az), rays = carry
             color, rays = _sample_one(
                 scene, cam, cpx, cpy, clane, s + sample_offset, seed,
-                max_depth, rays, active=cvalid, rr=rr)
+                max_depth, rays, active=cvalid, rr=rr,
+                sort_every=sort_every)
             return (ax + color.x, ay + color.y, az + color.z), rays
 
         zero = jnp.zeros((c,), jnp.float32)
@@ -115,10 +172,11 @@ def accumulate_megakernel(scene, cam: Camera, px, py, lane, *,
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height",
-                                             "max_depth", "waves", "rr"))
+                                             "max_depth", "waves", "rr",
+                                             "sort_every"))
 def _wave_frame(scene, cam: Camera, seed, sample_offset, *, width: int,
                 height: int, max_depth: int, waves: int = 1,
-                rr: bool = False):
+                rr: bool = False, sort_every: int = 0):
     """`waves` camera samples of the full frame in ONE device program
     (lane // n = sample within the batch, lane % n = pixel — the same
     global ray-id scheme as wavefront._gen_queue). Per-lane RNG keys
@@ -136,7 +194,8 @@ def _wave_frame(scene, cam: Camera, seed, sample_offset, *, width: int,
                   + lane // jnp.uint32(n))
     rays0 = jnp.zeros((max_depth,), jnp.int32)
     color, rays = _sample_one(scene, cam, px, py, pix, sample_idx,
-                              seed, max_depth, rays0, rr=rr)
+                              seed, max_depth, rays0, rr=rr,
+                              sort_every=sort_every)
     acc = jnp.stack([color.x, color.y, color.z], axis=-1)
     return acc.reshape(waves, n, 3).sum(axis=0), rays
 
@@ -155,6 +214,12 @@ def render_megakernel(scene, cam: Camera, *, width: int, height: int,
     import os
 
     wave_rays = int(os.environ.get("SRT_WAVE_RAYS", str(8 << 20)))
+    # Per-bounce coherence re-sort (see _sample_one): pays on the TPU
+    # packet kernel (the sort is the same argsort+packed-take as
+    # wavefront compaction); the CPU/XLA traversal gains nothing, so
+    # default off there. SRT_MK_SORT=k sorts every k bounces (0=off).
+    default_sort = 1 if jax.default_backend() == "tpu" else 0
+    sort_every = int(os.environ.get("SRT_MK_SORT", str(default_sort)))
     n = width * height
     # The megakernel runs lanes x max_depth bounce iterations in ONE
     # device program; this box's runtime kills multi-minute single
@@ -172,7 +237,7 @@ def render_megakernel(scene, cam: Camera, *, width: int, height: int,
         w = min(waves, spp - s)
         a, r = _wave_frame(scene, cam, seed, s, width=width,
                            height=height, max_depth=max_depth,
-                           waves=w, rr=rr)
+                           waves=w, rr=rr, sort_every=sort_every)
         accum = a if accum is None else accum + a
         rays = r if rays is None else rays + r
         s += w

@@ -79,6 +79,11 @@ class DeviceScene:
     mat_emissive: jnp.ndarray  # [M, 3]
     # Texture atlas (nearest/repeat sampling; image_manager.hpp parity)
     textures: jnp.ndarray      # [T, 512, 512, 4] uint8
+    # Same texels packed RGBA into one uint32 per texel: the per-bounce
+    # atlas sample is then ONE [R] single-lane gather + vector bit
+    # unpack instead of an [R, 4] row gather (gather cost is per row
+    # and grows with row width relayouts; PLAN_TPU.md).
+    tex_packed: jnp.ndarray    # [T*512*512] uint32
     sky_color: jnp.ndarray     # [3]
     scene_lo: jnp.ndarray      # [3] world bounds (for ray-sort Morton keys)
     scene_hi: jnp.ndarray      # [3]
@@ -94,6 +99,11 @@ class DeviceScene:
     tl_count: int = struct.field(pytree_node=False, default=0)
     tl_ni: int = struct.field(pytree_node=False, default=1)
     has_tiles: bool = struct.field(pytree_node=False, default=False)
+    # True iff any material references a texture. Build-time static so
+    # textureless scenes statically skip the per-bounce atlas gather
+    # (the [T,512,512,4] dummy atlas the HostScene contract always
+    # emits means textures.shape[0] is never 0 — round-2 advisor).
+    has_textures: bool = struct.field(pytree_node=False, default=True)
     has_sah: bool = struct.field(pytree_node=False, default=False)
     sah_ni: int = struct.field(pytree_node=False, default=1)
     leaf_size: int = struct.field(pytree_node=False, default=DEFAULT_LEAF_SIZE)
@@ -155,6 +165,30 @@ def build_device_scene(host: HostScene,
     want_treelets = (leaf_size == 8 and host.num_triangles > tl_limit
                      and os.environ.get("SRT_NO_TREELETS") != "1")
     tl = None
+    force_bf16 = False
+    if (want_treelets
+            and os.environ.get("SRT_FORCE_TREELETS") != "1"
+            and os.environ.get("SRT_BF16_NODES") != "0"
+            and os.environ.get("SRT_NO_SAH") != "1"):
+        # Past the f32 single-tree VMEM ceiling, a bf16-packed node
+        # table (conservative directed rounding — results identical,
+        # half the node bytes) doubles the ceiling to ~2.2M tris.
+        # Measured round 2: bf16 single-tree runs at ~0.95x the f32
+        # in-VMEM rate, vs the 2.3-3x treelet chaining tax — so prefer
+        # it whenever it fits (minecraft_proc 2.06M tris).
+        sahb = _sah.build_sah(host.tri_v, leaf_size)
+        if sahb.num_internal + sahb.num_leaves < (1 << 24):
+            est = (-(-sahb.num_internal // 32)
+                   + -(-sahb.num_leaves // 8)) * 8 * 128 * 4
+            from sycl_ray_tracer_tpu.models.trace import (
+                VMEM_TABLE_LIMIT_BYTES)
+            if est <= VMEM_TABLE_LIMIT_BYTES:
+                want_treelets = False
+                force_bf16 = True
+            else:
+                sahb = None
+        else:
+            sahb = None
     if want_treelets:
         validm0 = order >= 0
         inv_morton = np.zeros((host.num_triangles,), np.int32)
@@ -163,7 +197,7 @@ def build_device_scene(host: HostScene,
         tl = _tl.build_treelets(host.tri_v, inv_morton, leaf_size)
         has_tiles = False  # skip the (unused) single-tree SAH tiles
 
-    if (has_tiles and host.num_triangles
+    if (has_tiles and host.num_triangles and sahb is None
             and os.environ.get("SRT_NO_SAH") != "1"):
         sahb = _sah.build_sah(host.tri_v, leaf_size)
     # bf16-packed node tiles (half the VMEM, 3 fewer gathers/visit;
@@ -172,7 +206,8 @@ def build_device_scene(host: HostScene,
     # outweighs the saved gathers), so default OFF; it remains the
     # right call when a 1.1-2.2M-tri scene would otherwise spill to
     # treelets (it doubles the single-tree VMEM ceiling).
-    use_bf16_nodes = (os.environ.get("SRT_BF16_NODES", "0") == "1"
+    use_bf16_nodes = ((os.environ.get("SRT_BF16_NODES", "0") == "1"
+                       or force_bf16)
                       and os.environ.get("SRT_KERNEL") not in (
                           "v1", "v2"))
     cfmt = "f32"
@@ -292,6 +327,7 @@ def build_device_scene(host: HostScene,
         tl_lo=tl_lo, tl_hi=tl_hi, tl_count=tl_count, tl_ni=tl_ni,
         intersector=intersector, cfmt=cfmt,
         has_tiles=has_tiles,
+        has_textures=bool(len(m.tex_id) and (np.asarray(m.tex_id) >= 0).any()),
         has_sah=has_sah,
         sah_ni=sah_ni,
         tri_n=jnp.asarray(tri_n), tri_uv=jnp.asarray(tri_uv),
@@ -303,6 +339,12 @@ def build_device_scene(host: HostScene,
         mat_ior=jnp.asarray(m.ior),
         mat_emissive=jnp.asarray(m.emissive),
         textures=jnp.asarray(host.textures),
+        tex_packed=jnp.asarray(
+            (host.textures[..., 0].astype(np.uint32)
+             | (host.textures[..., 1].astype(np.uint32) << 8)
+             | (host.textures[..., 2].astype(np.uint32) << 16)
+             | (host.textures[..., 3].astype(np.uint32) << 24)
+             ).reshape(-1)),
         sky_color=jnp.asarray(host.sky_color),
         scene_lo=jnp.asarray(
             host.tri_v.reshape(-1, 3).min(0) if host.num_triangles

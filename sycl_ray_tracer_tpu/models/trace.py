@@ -251,12 +251,14 @@ def shade_lanes(scene, hit: Hit):
 
 def trace_step(scene, state: PathState, key: jnp.ndarray,
                bounce_counter, rr: bool = False,
-               bounce_idx=None) -> PathState:
-    """Advance every non-done lane by one path vertex."""
+               bounce_idx=None, primary: bool = False) -> PathState:
+    """Advance every non-done lane by one path vertex. `primary` is a
+    STATIC flag selecting the coherent-packet kernel config (the
+    megakernel peels bounce 0 out of its while_loop to set it)."""
     o, d, att, rad = state.o, state.d, state.att, state.rad
     live = ~state.done
 
-    hit = intersect_scene(scene, o, d, active=live)
+    hit = intersect_scene(scene, o, d, active=live, primary=primary)
     miss = hit.tri < 0
 
     sky = scene.sky_color

@@ -186,7 +186,8 @@ def _coherence_key(scene, o: V3, d: V3, hit_tri=None,
 
 def _bounce(scene, key_lane, carry, bounce_idx, capacity,
             rr: bool = False, primary: bool = False,
-            f16_queue: bool = False, deferred_acc: bool = False):
+            f16_queue: bool = False, deferred_acc: bool = False,
+            key_seed=None):
     """One wavefront iteration over the live queue prefix.
 
     deferred_acc (host-driven path only): instead of scatter-adding
@@ -206,7 +207,25 @@ def _bounce(scene, key_lane, carry, bounce_idx, capacity,
     d = V3(q_dx, q_dy, q_dz)
     att = V3(q_ar, q_ag, q_ab)
     rad = V3(q_rr, q_rg, q_rb)
-    key = jnp.take(key_lane, q_id, axis=0)
+    if key_seed is not None:
+        # Host-driven path: queue ids ARE the shard-local ray ids of
+        # the queue generator (lane // n = wave sample, lane % n =
+        # local pixel), so the per-lane RNG key is pure integer math
+        # of q_id — ~20 VPU ops instead of an [N] random-row gather
+        # (~65 ns/row on v5e, a triple-digit-ms toll at 8M buckets).
+        # pix_base shifts local pixel -> GLOBAL pixel so a sharded
+        # render draws the same (pixel, sample) streams as single-chip.
+        seed, sofs, pix_base = key_seed
+        n_pix = jnp.uint32(acc.shape[0])
+        qid_u = q_id.astype(jnp.uint32)
+        sample_seed = _rng.make_key(
+            jnp.asarray(seed, jnp.uint32),
+            jnp.asarray(sofs, jnp.uint32) + qid_u // n_pix)
+        key = _rng.make_key(
+            sample_seed,
+            jnp.asarray(pix_base, jnp.uint32) + qid_u % n_pix)
+    else:
+        key = jnp.take(key_lane, q_id, axis=0)
 
     hit = _trace.intersect_scene(scene, o, d, active=in_q,
                                  primary=primary)
@@ -401,7 +420,7 @@ def _gen_queue(scene, cam: Camera, seed, sample_offset, *, width: int,
                    static_argnames=("capacity", "rr", "primary",
                                     "f16_queue"),
                    donate_argnums=(1,))
-def _bounce_step(scene, state, key_lane, bounce_idx, *, capacity: int,
+def _bounce_step(scene, state, key_seed, bounce_idx, *, capacity: int,
                  rr: bool = False, primary: bool = False,
                  f16_queue: bool = False):
     """shoot_rays stage (render_wavefront.cpp:139-314) as ONE device
@@ -409,11 +428,13 @@ def _bounce_step(scene, state, key_lane, bounce_idx, *, capacity: int,
     bounces — the same bounce-synchronous structure as the reference's
     shared-USM readback (render_wavefront.cpp:144), except the whole
     queue state stays on device. `primary` is a static flag selecting
-    the coherent-packet kernel config (trace.V5_PRIMARY) for bounce 0."""
+    the coherent-packet kernel config (trace.V5_PRIMARY) for bounce 0.
+    key_seed = (seed, sample_offset) uint32 scalars; per-lane RNG keys
+    are recomputed from q_id (see _bounce), not gathered."""
     st = state[:15] + (jnp.zeros((1,), jnp.int32),)
-    out, term = _bounce(scene, key_lane, st, bounce_idx, capacity,
+    out, term = _bounce(scene, None, st, bounce_idx, capacity,
                         rr=rr, primary=primary, f16_queue=f16_queue,
-                        deferred_acc=True)
+                        deferred_acc=True, key_seed=key_seed)
     return out, term
 
 
@@ -487,6 +508,8 @@ def render_wavefront(scene, cam: Camera, *, width: int, height: int,
         cap = w * n
         key_lane, state = _gen_queue(scene, cam, seed, s,
                                      width=width, height=height, waves=w)
+        key_seed = (jnp.asarray(seed, jnp.uint32),
+                    jnp.asarray(s, jnp.uint32), jnp.uint32(0))
         count = cap
         for bounce in range(max_depth):
             if count == 0:
@@ -496,7 +519,7 @@ def render_wavefront(scene, cam: Camera, *, width: int, height: int,
             b = bucket_of(count, cap)
             if state[0].shape[0] != b:
                 state = tuple(a[:b] for a in state[:13]) + state[13:]
-            state, term = _bounce_step(scene, state, key_lane, bounce,
+            state, term = _bounce_step(scene, state, key_seed, bounce,
                                        capacity=b, rr=rr,
                                        primary=(bounce == 0),
                                        f16_queue=f16_queue)

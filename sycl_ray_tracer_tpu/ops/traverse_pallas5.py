@@ -108,7 +108,14 @@ def _traverse_subpacket5(ctiles_ref, ltiles_ref,
         sp, lh, lt, t_best, tri_best, ub, vb = c
 
         # ---- pop K internal nodes (gated) ----
-        have_i = [(sp > kk).astype(jnp.int32) for kk in range(ki)]
+        # Ring-occupancy guard (round-2 advisor finding): each pop can
+        # push up to 8 leaves but only ml drain per iteration, so a
+        # backlog could wrap the SMEM ring and silently overwrite
+        # unprocessed leaf ids. Gate pops into drain-only iterations
+        # whenever the pending count could overflow the ring.
+        room = (lt - lh) < (_LQ - 8 * ki)
+        have_i = [((sp > kk) & room).astype(jnp.int32)
+                  for kk in range(ki)]
         nds = [stack_ref[jnp.maximum(sp - 1 - kk, 0)]
                for kk in range(ki)]
         n_pop = have_i[0]
@@ -260,7 +267,10 @@ def _traverse_subpacket5(ctiles_ref, ltiles_ref,
                     farther = (keys[j2] > keys[j]) if j2 < j else (
                         keys[j2] >= keys[j])
                     ahead = ahead + ihit[j2] * farther.astype(jnp.int32)
-                slot = jnp.where(ihit[j] == 1, sp + ahead, _STACK - 1)
+                # trash slot _STACK sits OUTSIDE the usable range (the
+                # scratch is _STACK+1 deep), so a legitimately full
+                # stack can't be clobbered by non-hit trash writes
+                slot = jnp.where(ihit[j] == 1, sp + ahead, _STACK)
                 stack_ref[slot] = ids[j].astype(jnp.int32)
             sp = sp + n_int
             lcnt = jnp.int32(0)
@@ -362,7 +372,7 @@ def traverse_packets5(ctiles: jnp.ndarray, ltiles: jnp.ndarray,
         + [ray_spec] * 8,
         out_specs=[ray_spec] * 4,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.SMEM((_STACK,), jnp.int32),
+        scratch_shapes=[pltpu.SMEM((_STACK + 1,), jnp.int32),
                         pltpu.SMEM((_LQ + 1,), jnp.int32),
                         pltpu.VMEM((8, 128), jnp.float32),
                         pltpu.VMEM((8, 128), jnp.float32)],

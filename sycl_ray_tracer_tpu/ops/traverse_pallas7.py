@@ -1,25 +1,32 @@
-"""Pallas packet traversal v6: DUAL independent half-packet walks.
+"""Pallas packet traversal v7: W independent subpacket walks.
 
-v5 amortizes the per-iteration vector->scalar readback over ki nodes
-popped from ONE shared 1024-ray stack — every visit still pays vector
-work at full packet width against the UNION of all 1024 rays' visit
-sets. v6 splits the 8-row block into two 512-ray walks (rows 0-3 and
-4-7; after the wavefront's coherence sort these are CONSECUTIVE sorted
-rays, so each half's union is tighter than the full packet's):
+Generalizes v5 (one walk over the whole ray block) and v6 (two
+half-block walks) to W independent walks of `rpw` rows each, all
+sharing ONE vector->scalar readback per iteration:
 
-- Each walk owns half the SMEM stack and half the leaf ring and pops
-  its own ki nodes per iteration; slab/MT vector math touches only the
-  walk's 4 rows (half the per-visit vector work).
-- Both walks' child keys/ids merge into ONE keybuf store -> ONE
-  readback per iteration (2*ki node visits amortize the sync).
-- A finished walk degenerates to gated no-op pops while the other
-  drains; iterations = max(U_a, U_b) / ki.
+- Walk w owns rows [w*rpw, (w+1)*rpw) of the (W*rpw, 128) ray block,
+  a private SSZ-slot SMEM stack region, and a private LSZ-slot SMEM
+  leaf ring. After the wavefront's coherence sort its rpw*128 rays are
+  CONSECUTIVE sorted rays, so each walk's visit union is tighter than
+  the full block's — the union tax (PLAN_TPU.md roadmap #1) shrinks
+  with W while the per-iteration sync cost stays ONE readback for all
+  W*ki node visits.
+- Per iteration each walk pops ki nodes (gated; a drained walk
+  degenerates to no-op pops while the others finish) and processes ml
+  leaves from its ring (leaf visits need no readback; their MT chains
+  fill the latency shadow).
+- All W*ki child key/id columns merge into one keybuf/idbuf store ->
+  one sync -> 8*W*ki cheap scalar reads, then per-walk branch-free
+  ordered pushes exactly as v5 (trash slots sit OUTSIDE the usable
+  stack/ring ranges; ring-occupancy guard gates pops into drain-only
+  iterations, round-2 advisor).
 
-Net accounting vs v5-ki2 (bounce packets): total visits rise
-(U_a + U_b >= U_union) but per-visit vector cost halves and the union
-per visit shrinks; the experiment decides. Same tables/API as v2/v5.
+The experiment this enables (round-3 VERDICT #1): sweep W x rpw on
+sorted bounce packets to find where union shrink beats the extra
+total visits (sum of per-walk unions >= union of the block).
 
-Fill-the-role citation: rtcIntersect1 (trace_ray.hpp:22).
+Fill-the-role citation as v1-v6: the reference's rtcIntersect1
+(trace_ray.hpp:22, the hot inner call of its wavefront/megakernel).
 """
 
 from __future__ import annotations
@@ -35,10 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 from sycl_ray_tracer_tpu.ops.intersect import BIG, TNEAR, Hit, _DET_EPS
 from sycl_ray_tracer_tpu.ops.vec import V3
 
-_STACK = 256          # split: walk w owns [w*128, w*128+128)
-_HSTACK = 128
-_LQ = 4096            # split: walk w owns [w*2048, ...)
-_HLQ = 2048
+_SSZ = 128            # stack slots per walk
 _MISS = np.float32(BIG) * np.float32(0.5)
 
 
@@ -47,13 +51,15 @@ def _bcast_gather(tile, lane, n=8):
     return jnp.take_along_axis(tile, idx, axis=1)
 
 
-def _packet_kernel6(ctiles_ref, ltiles_ref,
+def _packet_kernel7(ctiles_ref, ltiles_ref,
                     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                     act_ref, t0_ref, t_ref, tri_ref, u_ref, v_ref,
                     stack_ref, lq_ref, keybuf_ref, idbuf_ref,
-                    *, ni: int, k: int, ki: int, ml: int):
-    rows = list(range(8))
-    walk_rows = (rows[0:4], rows[4:8])
+                    *, ni: int, k: int, nw: int, rpw: int, ki: int,
+                    ml: int, lsz: int, cfmt: str = "f32"):
+    blk = nw * rpw
+    rows = list(range(blk))
+    walk_rows = [rows[w * rpw:(w + 1) * rpw] for w in range(nw)]
     ox = [ox_ref[r:r + 1, :] for r in rows]
     oy = [oy_ref[r:r + 1, :] for r in rows]
     oz = [oz_ref[r:r + 1, :] for r in rows]
@@ -72,50 +78,72 @@ def _packet_kernel6(ctiles_ref, ltiles_ref,
     tm1 = [jnp.full((1, 128), -1, jnp.int32) for _ in rows]
     zz = [jnp.zeros((1, 128), jnp.float32) for _ in rows]
 
-    stack_ref[0] = 0          # walk 0 root
-    stack_ref[_HSTACK] = 0    # walk 1 root
+    for w in range(nw):
+        stack_ref[w * _SSZ] = 0     # each walk starts at the root
     jrow = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
     lane_i = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
     fni = jnp.float32(ni)
 
-    # carry: (sp0, sp1, lh0, lt0, lh1, lt1, t(8), tri(8), u(8), v(8))
-    carry0 = (jnp.int32(1), jnp.int32(1),
-              jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
+    one = jnp.int32(1)
+    zero = jnp.int32(0)
+    carry0 = (tuple(one for _ in range(nw)),      # sp per walk
+              tuple(zero for _ in range(nw)),     # leaf ring head
+              tuple(zero for _ in range(nw)),     # leaf ring tail
               tuple(t0), tuple(tm1), tuple(zz), tuple(zz))
 
     def cond(c):
-        sp0, sp1, lh0, lt0, lh1, lt1 = c[:6]
-        return ((sp0 > 0) | (lt0 > lh0)
-                | (sp1 > 0) | (lt1 > lh1))
+        sps, lhs, lts = c[0], c[1], c[2]
+        alive = (sps[0] > 0) | (lts[0] > lhs[0])
+        for w in range(1, nw):
+            alive = alive | (sps[w] > 0) | (lts[w] > lhs[w])
+        return alive
 
     def body(c):
-        sp0, sp1, lh0, lt0, lh1, lt1, t_best, tri_best, ub, vb = c
-        sps = [sp0, sp1]
-        lhs = [lh0, lh1]
-        lts = [lt0, lt1]
+        sps, lhs, lts, t_best, tri_best, ub, vb = c
+        sps = list(sps)
+        lhs = list(lhs)
+        lts = list(lts)
 
+        # ---- W*ki node visits -> merged key/id columns ----
         kcomb = jnp.full((8, 128), jnp.float32(BIG))
         icomb = jnp.zeros((8, 128), jnp.float32)
-        have_i = [[None] * ki for _ in range(2)]
-        for w in range(2):
-            base = w * _HSTACK
-            # ring-occupancy guard (see traverse_pallas5.body): gate
-            # pops into drain-only iterations when this walk's pending
-            # leaves could wrap its half-ring
-            room = (lts[w] - lhs[w]) < (_HLQ - 8 * ki)
+        have_i = [[None] * ki for _ in range(nw)]
+        for w in range(nw):
+            sbase = w * _SSZ
+            # ring-occupancy guard: drain-only iterations when this
+            # walk's pending leaves could wrap its ring
+            room = (lts[w] - lhs[w]) < (lsz - 8 * ki)
             for kk in range(ki):
                 have = ((sps[w] > kk) & room).astype(jnp.int32)
                 have_i[w][kk] = have
-                nd = stack_ref[base + jnp.maximum(sps[w] - 1 - kk, 0)]
+                nd = stack_ref[sbase + jnp.maximum(sps[w] - 1 - kk, 0)]
                 nd = jnp.minimum(nd, ni - 1)
-                tile = ctiles_ref[nd // 16]
-                cbase = 8 * (nd % 16)
-                lox = _bcast_gather(tile, cbase + 0)
-                loy = _bcast_gather(tile, cbase + 1)
-                loz = _bcast_gather(tile, cbase + 2)
-                hix = _bcast_gather(tile, cbase + 3)
-                hiy = _bcast_gather(tile, cbase + 4)
-                hiz = _bcast_gather(tile, cbase + 5)
+                if cfmt == "bf16p":
+                    tile = ctiles_ref[nd // 32]
+                    cbase = 4 * (nd % 32)
+
+                    def unpk(p):
+                        wd = jax.lax.bitcast_convert_type(p, jnp.uint32)
+                        lo = jax.lax.bitcast_convert_type(
+                            wd << 16, jnp.float32)
+                        hi = jax.lax.bitcast_convert_type(
+                            wd & jnp.uint32(0xFFFF0000), jnp.float32)
+                        return lo, hi
+
+                    lox, hix = unpk(_bcast_gather(tile, cbase + 0))
+                    loy, hiy = unpk(_bcast_gather(tile, cbase + 1))
+                    loz, hiz = unpk(_bcast_gather(tile, cbase + 2))
+                    idlane = cbase + 3
+                else:
+                    tile = ctiles_ref[nd // 16]
+                    cbase = 8 * (nd % 16)
+                    lox = _bcast_gather(tile, cbase + 0)
+                    loy = _bcast_gather(tile, cbase + 1)
+                    loz = _bcast_gather(tile, cbase + 2)
+                    hix = _bcast_gather(tile, cbase + 3)
+                    hiy = _bcast_gather(tile, cbase + 4)
+                    hiz = _bcast_gather(tile, cbase + 5)
+                    idlane = cbase + 6
                 key_acc = jnp.full((8, 128), jnp.float32(BIG))
                 for i in walk_rows[w]:
                     t1x = (lox - ox[i]) * ix[i]
@@ -136,26 +164,28 @@ def _packet_kernel6(ctiles_ref, ltiles_ref,
                            & (tmin < t_best[i]))
                     key_acc = jnp.minimum(
                         key_acc, jnp.where(hit, tmin, jnp.float32(BIG)))
-                key = jnp.min(key_acc, axis=1, keepdims=True)
+                key = jnp.min(key_acc, axis=1, keepdims=True)  # (8,1)
                 lane = w * ki + kk
                 kcomb = jnp.where(lane_i == lane,
                                   jnp.broadcast_to(key, (8, 128)),
                                   kcomb)
                 icomb = jnp.where(lane_i == lane,
-                                  _bcast_gather(tile, cbase + 6),
-                                  icomb)
-            sps[w] = sps[w] - sum(have_i[w])
+                                  _bcast_gather(tile, idlane), icomb)
+            n_pop = have_i[w][0]
+            for kk in range(1, ki):
+                n_pop = n_pop + have_i[w][kk]
+            sps[w] = sps[w] - n_pop
 
-        # ---- per-walk leaf visits (no readback needed) ----
+        # ---- per-walk leaf visits from the rings (no readback) ----
         t_new = list(t_best)
         tri_new = list(tri_best)
         u_new = list(ub)
         v_new = list(vb)
-        for w in range(2):
-            lbase_q = w * _HLQ
+        for w in range(nw):
+            qbase = w * lsz
             for mm in range(ml):
                 have_l = ((lts[w] - lhs[w]) > mm)
-                lf = lq_ref[lbase_q + (lhs[w] + mm) % _HLQ]
+                lf = lq_ref[qbase + (lhs[w] + mm) % lsz]
                 lfc = jnp.maximum(lf - ni, 0)
                 ltile = ltiles_ref[jnp.minimum(
                     lfc // 8, ltiles_ref.shape[0] - 1)]
@@ -207,13 +237,13 @@ def _packet_kernel6(ctiles_ref, ltiles_ref,
                     v_new[i] = jnp.where(has, vsel, v_new[i])
             lhs[w] = lhs[w] + jnp.minimum(lts[w] - lhs[w], ml)
 
-        # ---- ONE readback sync for both walks' 2*ki nodes ----
+        # ---- ONE readback sync for all W*ki nodes ----
         keybuf_ref[:] = kcomb
         idbuf_ref[:] = icomb
 
-        for w in range(2):
-            sbase = w * _HSTACK
-            qbase = w * _HLQ
+        for w in range(nw):
+            sbase = w * _SSZ
+            qbase = w * lsz
             for kk in reversed(range(ki)):
                 lane = w * ki + kk
                 keys = [keybuf_ref[j, lane] for j in range(8)]
@@ -236,29 +266,27 @@ def _packet_kernel6(ctiles_ref, ltiles_ref,
                             else (keys[j2] >= keys[j])
                         ahead = ahead + ihit[j2] * farther.astype(
                             jnp.int32)
-                    # dedicated trash slot OUTSIDE both walks' ranges
-                    # (scratch is _STACK+1 deep) — a full half-stack's
-                    # live top entry can't be clobbered
+                    # trash slot nw*_SSZ sits OUTSIDE every walk's range
                     slot = jnp.where(ihit[j] == 1,
                                      sbase + sps[w] + ahead,
-                                     _STACK)
+                                     nw * _SSZ)
                     stack_ref[slot] = ids[j].astype(jnp.int32)
                 sps[w] = sps[w] + n_int
                 lcnt = jnp.int32(0)
                 for j in range(8):
                     slot = jnp.where(lhit[j] == 1,
-                                     qbase + (lts[w] + lcnt) % _HLQ,
-                                     _LQ)
+                                     qbase + (lts[w] + lcnt) % lsz,
+                                     nw * lsz)
                     lq_ref[slot] = ids[j].astype(jnp.int32)
                     lcnt = lcnt + lhit[j]
                 lts[w] = lts[w] + lcnt
 
-        return (sps[0], sps[1], lhs[0], lts[0], lhs[1], lts[1],
+        return (tuple(sps), tuple(lhs), tuple(lts),
                 tuple(t_new), tuple(tri_new), tuple(u_new),
                 tuple(v_new))
 
     out = jax.lax.while_loop(cond, body, carry0)
-    t_best, tri_best, ub, vb = out[6], out[7], out[8], out[9]
+    t_best, tri_best, ub, vb = out[3], out[4], out[5], out[6]
     for i, r in enumerate(rows):
         t_ref[r:r + 1, :] = jnp.where(act[i], t_best[i], 0.0)
         tri_ref[r:r + 1, :] = jnp.where(act[i], tri_best[i], -1)
@@ -267,22 +295,29 @@ def _packet_kernel6(ctiles_ref, ltiles_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("ni", "leaf_size", "rows", "ki",
-                                    "ml"))
-def traverse_packets6(ctiles: jnp.ndarray, ltiles: jnp.ndarray,
+                   static_argnames=("ni", "leaf_size", "walks", "rpw",
+                                    "ki", "ml", "cfmt"))
+def traverse_packets7(ctiles: jnp.ndarray, ltiles: jnp.ndarray,
                       ni: int, leaf_size: int, o: V3, d: V3,
                       active: jnp.ndarray | None = None,
-                      rows: int | None = None,
-                      ki: int = 2, ml: int = 2,
-                      t_init: jnp.ndarray | None = None) -> Hit:
-    """Dual-walk variant of traverse_packets2/5 (same tables/API).
-    `rows` is accepted for harness compatibility and ignored (the
-    split is fixed at two 4-row walks)."""
-    del rows
-    if not (1 <= ki <= 4 and 1 <= ml <= 8):
-        raise ValueError("ki in 1..4 (2 walks share 8 key lanes)")
+                      walks: int = 4, rpw: int = 2,
+                      ki: int = 1, ml: int = 2,
+                      t_init: jnp.ndarray | None = None,
+                      cfmt: str = "f32") -> Hit:
+    """W-walk variant of traverse_packets5/6 (same tables/API).
+
+    walks*rpw must be 8, 16 or 32 (the ray-block sublane count);
+    walks*ki <= 128 (key lanes). t_init: optional [R] incumbent hit
+    distances (treelet chaining) — only strictly closer hits report.
+    """
+    if walks * rpw not in (8, 16, 32):
+        raise ValueError("walks*rpw must be 8, 16 or 32")
+    if not (1 <= ki <= 8 and 1 <= ml <= 8 and walks * ki <= 128):
+        raise ValueError("bad ki/ml/walks")
+    blk = walks * rpw
+    lsz = max(4096 // walks, 256)
     r = o.x.shape[0]
-    pad = (-r) % 1024
+    pad = (-r) % (blk * 128)
     rp = r + pad
 
     def prep(a, fill=0.0):
@@ -298,8 +333,8 @@ def traverse_packets6(ctiles: jnp.ndarray, ltiles: jnp.ndarray,
             prep(d.x), prep(d.y), prep(d.z), prep(act, 0),
             prep(t0, BIG))
 
-    grid = rp // 1024
-    ray_spec = pl.BlockSpec((8, 128), lambda g: (g, 0),
+    grid = rp // (blk * 128)
+    ray_spec = pl.BlockSpec((blk, 128), lambda g: (g, 0),
                             memory_space=pltpu.VMEM)
     out_shape = [
         jax.ShapeDtypeStruct((rp // 128, 128), jnp.float32),
@@ -307,8 +342,9 @@ def traverse_packets6(ctiles: jnp.ndarray, ltiles: jnp.ndarray,
         jax.ShapeDtypeStruct((rp // 128, 128), jnp.float32),
         jax.ShapeDtypeStruct((rp // 128, 128), jnp.float32),
     ]
-    kernel = functools.partial(_packet_kernel6, ni=ni, k=leaf_size,
-                               ki=ki, ml=ml)
+    kernel = functools.partial(_packet_kernel7, ni=ni, k=leaf_size,
+                               nw=walks, rpw=rpw, ki=ki, ml=ml,
+                               lsz=lsz, cfmt=cfmt)
     t, tri, u, v = pl.pallas_call(
         kernel,
         grid=(grid,),
@@ -316,16 +352,14 @@ def traverse_packets6(ctiles: jnp.ndarray, ltiles: jnp.ndarray,
         + [ray_spec] * 8,
         out_specs=[ray_spec] * 4,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.SMEM((_STACK + 1,), jnp.int32),
-                        pltpu.SMEM((_LQ + 1,), jnp.int32),
+        scratch_shapes=[pltpu.SMEM((walks * _SSZ + 1,), jnp.int32),
+                        pltpu.SMEM((walks * lsz + 1,), jnp.int32),
                         pltpu.VMEM((8, 128), jnp.float32),
                         pltpu.VMEM((8, 128), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(ctiles, ltiles, *args)
 
-    def unprep(a):
-        return a.reshape(rp)[:r]
-
-    return Hit(t=unprep(t), tri=unprep(tri).astype(jnp.int32),
-               u=unprep(u), v=unprep(v))
+    flat = lambda a: a.reshape(rp)[:r]
+    return Hit(t=flat(t), tri=flat(tri).astype(jnp.int32),
+               u=flat(u), v=flat(v))

@@ -21,6 +21,7 @@ once per frame.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -28,9 +29,10 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from sycl_ray_tracer_tpu.models.camera import Camera
+from sycl_ray_tracer_tpu.models.camera import Camera, generate_rays
 from sycl_ray_tracer_tpu.models.megakernel import accumulate_megakernel
-from sycl_ray_tracer_tpu.models.wavefront import accumulate_wavefront
+from sycl_ray_tracer_tpu.models.wavefront import (_bounce,
+                                                  accumulate_wavefront)
 from sycl_ray_tracer_tpu.ops.vec import linear_to_gamma
 
 
@@ -44,6 +46,155 @@ def make_mesh(dp: Optional[int] = None, sp: int = 1,
     return Mesh(dev, axis_names=("dp", "sp"))
 
 
+def _render_sharded_wavefront_hostloop(
+        scene, cam: Camera, *, width: int, height: int, spp: int,
+        max_depth: int, seed: int, mesh: Mesh,
+        rr: bool) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Host-driven sharded wavefront: the FAST single-chip pipeline
+    (bounce-synchronous host loop, live-count buckets, adaptive
+    primary/bounce kernel configs, donated buffers, key-from-id RNG)
+    run per shard under shard_map (round-3 VERDICT #4 — the previous
+    sharded path traced the slower bucketless core).
+
+    Structure per bounce: ONE jitted shard_map program advances every
+    shard's queue; the host reads back only the per-shard live counts
+    (the same one-scalar-per-bounce sync as single-chip,
+    render_wavefront.cpp:144) and picks the next GLOBAL bucket from
+    their max, so every shard compiles the same shapes. Terminated
+    lanes scatter-add inside the shard (shard-local accumulator —
+    scatter never crosses ICI); the only collective is the final
+    psum-style sum over "dp" when the linear accumulators merge.
+
+    Estimator parity: each (global pixel, absolute sample) draws the
+    same key stream as single-chip (key = f(seed, abs sample, global
+    pixel)); dp shards sample slices, sp shards pixel slices.
+    """
+    dp = mesh.shape["dp"]
+    sp = mesh.shape["sp"]
+    n = width * height
+    n_local = n // sp
+    spp_local = spp // dp
+    wave_rays = int(os.environ.get("SRT_WAVE_RAYS", str(16 << 20)))
+    waves = max(1, min(spp_local, wave_rays // n_local))
+    f16_queue = os.environ.get("SRT_F16_QUEUE") == "1"
+    seed_u = jnp.uint32(seed)
+    spec_q = P("dp", "sp", None)
+    spec_c = P("dp", "sp")
+    spec_a = P("dp", "sp", None, None)
+
+    @functools.partial(jax.jit, static_argnames=("w",))
+    def gen(scene, cam, s_local, *, w: int):
+        cap = w * n_local
+
+        def fn(scene, cam):
+            dpi = jax.lax.axis_index("dp")
+            spi = jax.lax.axis_index("sp")
+            from sycl_ray_tracer_tpu.ops import rng as _rng
+
+            lane = jnp.arange(cap, dtype=jnp.uint32)
+            pix_g = (jnp.uint32(spi) * jnp.uint32(n_local)
+                     + lane % jnp.uint32(n_local))
+            px = (pix_g % jnp.uint32(width)).astype(jnp.int32)
+            py = (pix_g // jnp.uint32(width)).astype(jnp.int32)
+            sofs = (jnp.asarray(s_local, jnp.uint32)
+                    + jnp.uint32(dpi) * jnp.uint32(spp_local))
+            sample_seed = _rng.make_key(
+                seed_u, sofs + lane // jnp.uint32(n_local))
+            key = _rng.make_key(sample_seed, pix_g)
+            o, d = generate_rays(cam, px, py, key)
+            ones = jnp.ones((cap,), jnp.float32)
+            zeros = jnp.zeros((cap,), jnp.float32)
+            cols = (o.x, o.y, o.z, d.x, d.y, d.z,
+                    ones, ones, ones, zeros, zeros, zeros,
+                    jnp.arange(cap, dtype=jnp.int32))
+            acc = jnp.zeros((n_local, 3), jnp.float32)
+            cnt = jnp.full((1, 1), cap, jnp.int32)
+            return (tuple(c.reshape(1, 1, cap) for c in cols)
+                    + (cnt, acc.reshape(1, 1, n_local, 3)))
+
+        return jax.shard_map(
+            fn, mesh=mesh, in_specs=(P(), P()),
+            out_specs=tuple([spec_q] * 13) + (spec_c, spec_a),
+            check_vma=False)(scene, cam)
+
+    @functools.partial(jax.jit,
+                       static_argnames=("capacity", "primary"),
+                       donate_argnums=(1,))
+    def step(scene, state, s_local, bounce_idx, *, capacity: int,
+             primary: bool):
+        def fn(scene, *st):
+            dpi = jax.lax.axis_index("dp")
+            spi = jax.lax.axis_index("sp")
+            cols = [c.reshape(capacity) for c in st[:13]]
+            cnt = st[13].reshape(())
+            acc = st[14].reshape(n_local, 3)
+            key_seed = (seed_u,
+                        jnp.asarray(s_local, jnp.uint32)
+                        + jnp.uint32(dpi) * jnp.uint32(spp_local),
+                        jnp.uint32(spi) * jnp.uint32(n_local))
+            carry = tuple(cols) + (cnt, acc,
+                                   jnp.zeros((1,), jnp.int32))
+            out = _bounce(scene, None, carry, bounce_idx, capacity,
+                          rr=rr, primary=primary, f16_queue=f16_queue,
+                          key_seed=key_seed)
+            new_cols = out[:13]
+            new_cnt = out[13]
+            new_acc = out[14]
+            return (tuple(c.reshape(1, 1, capacity) for c in new_cols)
+                    + (new_cnt.reshape(1, 1).astype(jnp.int32),
+                       new_acc.reshape(1, 1, n_local, 3)))
+
+        return jax.shard_map(
+            fn, mesh=mesh,
+            in_specs=(P(),) + tuple([spec_q] * 13) + (spec_c, spec_a),
+            out_specs=tuple([spec_q] * 13) + (spec_c, spec_a),
+            check_vma=False)(scene, *state)
+
+    def bucket_of(c, cap):
+        b = 1 << max(int(c - 1).bit_length(), 14)
+        if c <= (b >> 2) * 3:
+            b = (b >> 2) * 3
+        return min(b, cap)
+
+    rays = np.zeros((max_depth,), np.int64)
+    combined = None
+    s = 0
+    while s < spp_local:
+        w = min(waves, spp_local - s)
+        cap = w * n_local
+        state = gen(scene, cam, jnp.uint32(s), w=w)
+        count_max = cap
+        counts_sum = cap * dp * sp
+        for bounce in range(max_depth):
+            if count_max == 0:
+                break
+            rays[bounce] += counts_sum
+            b = bucket_of(count_max, cap)
+            if state[0].shape[-1] != b:
+                state = tuple(a[:, :, :b] for a in state[:13]) \
+                    + state[13:]
+            state = step(scene, state, jnp.uint32(s), jnp.int32(bounce),
+                         capacity=b, primary=(bounce == 0))
+            counts = np.asarray(state[13])
+            count_max = int(counts.max())
+            counts_sum = int(counts.sum())
+        acc = state[14]
+        combined = acc if combined is None else combined + acc
+        s += w
+
+    @jax.jit
+    def finish(acc):
+        # sum over the dp (sample) axis — the merge_samples collective
+        # (render_wavefront.cpp:319-358); sp-major concatenation IS
+        # global pixel order (pix_g = spi * n_local + local)
+        a = acc.sum(axis=0).reshape(n, 3)
+        img = linear_to_gamma(a * (1.0 / spp))
+        return img.reshape(height, width, 3)
+
+    img = finish(combined)
+    return img, jnp.asarray(np.minimum(rays, 2**31 - 1).astype(np.int32))
+
+
 def render_sharded(scene, cam: Camera, *, width: int, height: int,
                    spp: int, max_depth: int, seed: int = 0,
                    mesh: Optional[Mesh] = None,
@@ -51,7 +202,11 @@ def render_sharded(scene, cam: Camera, *, width: int, height: int,
                    rr: bool = False) -> Tuple[jnp.ndarray,
                                               jnp.ndarray]:
     """Sharded render. Returns (image [H, W, 3] gamma-encoded,
-    per-bounce ray counts [max_depth] int32, summed over all shards)."""
+    per-bounce ray counts [max_depth] int32, summed over all shards).
+
+    Wavefront renders through the host-driven fast path
+    (_render_sharded_wavefront_hostloop); megakernel through the
+    traced shard_map core (accumulate_megakernel)."""
     if mesh is None:
         mesh = make_mesh()
     dp = mesh.shape["dp"]
@@ -61,6 +216,10 @@ def render_sharded(scene, cam: Camera, *, width: int, height: int,
         raise ValueError(f"spp={spp} must divide by dp={dp}")
     if n % sp:
         raise ValueError(f"pixels={n} must divide by sp={sp}")
+    if renderer == "wavefront":
+        return _render_sharded_wavefront_hostloop(
+            scene, cam, width=width, height=height, spp=spp,
+            max_depth=max_depth, seed=seed, mesh=mesh, rr=rr)
     spp_local = spp // dp
     accumulate = (accumulate_wavefront if renderer == "wavefront"
                   else accumulate_megakernel)

@@ -10,9 +10,69 @@ exercises ingest too.
 
 from __future__ import annotations
 
+import io
+
 import numpy as np
 
 from sycl_ray_tracer_tpu.utils.glb_writer import GlbBuilder
+
+
+def _value_noise(rs, res: int, cell: int) -> np.ndarray:
+    """Tileable bilinear value noise in [0, 1], res x res."""
+    g = rs.uniform(0, 1, (res // cell + 1, res // cell + 1))
+    g[-1, :] = g[0, :]   # tileable
+    g[:, -1] = g[:, 0]
+    ys, xs = np.mgrid[0:res, 0:res] / float(cell)
+    x0, y0 = xs.astype(int), ys.astype(int)
+    fx, fy = xs - x0, ys - y0
+    fx = fx * fx * (3 - 2 * fx)  # smoothstep
+    fy = fy * fy * (3 - 2 * fy)
+    return (g[y0, x0] * (1 - fx) * (1 - fy)
+            + g[y0, x0 + 1] * fx * (1 - fy)
+            + g[y0 + 1, x0] * (1 - fx) * fy
+            + g[y0 + 1, x0 + 1] * fx * fy)
+
+
+def _texture_png(base_rgb, kind: str, seed: int, res: int = 512) -> bytes:
+    """Procedural tileable texture around base_rgb.
+
+    The reference's Sponza is heavily textured (image_manager.hpp
+    uploads every glTF image; material.hpp:45-53 samples base color per
+    bounce), so the benchmark scenes carry real images too — the
+    in-loop atlas gather is part of every measured number (round-3
+    VERDICT #2)."""
+    from PIL import Image
+
+    rs = np.random.RandomState(seed)
+    base = np.asarray(base_rgb, np.float32)
+    n1 = _value_noise(rs, res, 64)
+    n2 = _value_noise(rs, res, 16)
+    n3 = _value_noise(rs, res, 4)
+    if kind == "stone":
+        v = 0.75 + 0.3 * n1 + 0.15 * n2 + 0.08 * n3 - 0.25
+        yy, xx = np.mgrid[0:res, 0:res]
+        mortar = ((yy % (res // 4) < 3)
+                  | ((xx + (yy // (res // 4)) * res // 8)
+                     % (res // 2) < 3))
+        v = np.where(mortar, v * 0.55, v)
+    elif kind == "marble":
+        yy = np.mgrid[0:res, 0:res][0] / res
+        v = 0.8 + 0.25 * np.sin((yy * 6 + 3.5 * n1) * 2 * np.pi)
+        v += 0.1 * n3 - 0.05
+    elif kind == "cloth":
+        yy, xx = np.mgrid[0:res, 0:res]
+        weave = 0.12 * (np.sin(xx * 2 * np.pi * 32 / res)
+                        * np.sin(yy * 2 * np.pi * 32 / res))
+        v = 0.85 + weave + 0.2 * n2
+    else:  # "noise"
+        v = 0.7 + 0.4 * n1 + 0.15 * n3
+    rgb = np.clip(base[None, None, :] * v[..., None], 0, 1)
+    img = np.concatenate(
+        [(rgb * 255).astype(np.uint8),
+         np.full((res, res, 1), 255, np.uint8)], axis=-1)
+    buf = io.BytesIO()
+    Image.fromarray(img, "RGBA").save(buf, format="PNG")
+    return buf.getvalue()
 
 
 def _cylinder(radius, height, sides, segs):
@@ -77,15 +137,34 @@ def sponza_like_glb(scale: int = 2, seed: int = 0) -> bytes:
     rs = np.random.RandomState(seed)
     b = GlbBuilder()
 
-    floor_m = b.add_material(base_color=(0.55, 0.5, 0.45), name="floor")
-    wall_m = b.add_material(base_color=(0.6, 0.55, 0.5), name="wall")
-    col_m = b.add_material(base_color=(0.7, 0.68, 0.62), name="column")
+    # textured like the real Sponza: every major diffuse surface
+    # samples a base-color image per bounce (material.hpp:45-53)
+    tex = {name: b.add_texture_png(_texture_png(rgb, kind, 100 + i))
+           for i, (name, rgb, kind) in enumerate([
+               ("floor", (0.55, 0.5, 0.45), "stone"),
+               ("wall", (0.6, 0.55, 0.5), "stone"),
+               ("wall2", (0.62, 0.56, 0.48), "noise"),
+               ("column", (0.7, 0.68, 0.62), "marble"),
+               ("slab", (0.66, 0.64, 0.6), "marble"),
+               ("cloth0", (0.7, 0.15, 0.15), "cloth"),
+               ("cloth1", (0.15, 0.5, 0.15), "cloth"),
+               ("cloth2", (0.15, 0.2, 0.6), "cloth"),
+           ])}
+    floor_m = b.add_material(base_color=(0.55, 0.5, 0.45), name="floor",
+                             base_color_texture=tex["floor"])
+    wall_m = b.add_material(base_color=(0.6, 0.55, 0.5), name="wall",
+                            base_color_texture=tex["wall"])
+    col_m = b.add_material(base_color=(0.7, 0.68, 0.62), name="column",
+                           base_color_texture=tex["column"])
+    slab_m = b.add_material(base_color=(0.66, 0.64, 0.6), name="slab",
+                            base_color_texture=tex["slab"])
     gold_m = b.add_material(base_color=(0.9, 0.75, 0.3), metallic=1.0,
                             roughness=0.2, name="gold")
     rough_metal_m = b.add_material(base_color=(0.6, 0.6, 0.65), metallic=1.0,
                                    roughness=0.6, name="steel")
     glass_m = b.add_material(ior=1.5, transmission=1.0, name="glass")
-    cloth_ms = [b.add_material(base_color=tuple(c), name=f"cloth{i}")
+    cloth_ms = [b.add_material(base_color=tuple(c), name=f"cloth{i}",
+                               base_color_texture=tex[f"cloth{i}"])
                 for i, c in enumerate([(0.7, 0.15, 0.15), (0.15, 0.5, 0.15),
                                        (0.15, 0.2, 0.6)])]
     light_m = b.add_material(base_color=(1, 1, 1), emissive=(1, 0.95, 0.8),
@@ -107,8 +186,10 @@ def sponza_like_glb(scale: int = 2, seed: int = 0) -> bytes:
              (-w2, 0, d2), (1, 0, 0), wall_m)
     add_quad((w2, 0, -d2), (w2, 0, d2), (w2, hall_h, d2), (w2, hall_h, -d2),
              (-1, 0, 0), wall_m)
+    back_m = b.add_material(base_color=(0.62, 0.56, 0.48), name="back",
+                            base_color_texture=tex["wall2"])
     add_quad((-w2, 0, -d2), (w2, 0, -d2), (w2, hall_h, -d2),
-             (-w2, hall_h, -d2), (0, 0, 1), wall_m)
+             (-w2, hall_h, -d2), (0, 0, 1), back_m)
 
     # colonnades: two rows x two stories of fluted columns
     sides = 24 * scale
@@ -125,7 +206,7 @@ def sponza_like_glb(scale: int = 2, seed: int = 0) -> bytes:
     # story separator balconies along each wall; the center stays open
     # to the sky like Sponza's atrium
     bv, bn, bu, bi = _box((hall_w / 3.5, 0.6, hall_d))
-    slab_mesh = b.add_mesh(bv, bn, bu, bi, wall_m)
+    slab_mesh = b.add_mesh(bv, bn, bu, bi, slab_m)
     b.add_node(mesh=slab_mesh, translation=[-w2 + hall_w / 7, 4.7, 0])
     b.add_node(mesh=slab_mesh, translation=[w2 - hall_w / 7, 4.7, 0])
 
@@ -176,9 +257,18 @@ def minecraft_like_glb(n: int = 360, seed: int = 3) -> bytes:
     enough."""
     rs = np.random.RandomState(seed)
     b = GlbBuilder()
-    grass_m = b.add_material(base_color=(0.25, 0.55, 0.2), name="grass")
-    dirt_m = b.add_material(base_color=(0.45, 0.32, 0.2), name="dirt")
-    stone_m = b.add_material(base_color=(0.5, 0.5, 0.52), name="stone")
+    tex = {name: b.add_texture_png(_texture_png(rgb, kind, 200 + i))
+           for i, (name, rgb, kind) in enumerate([
+               ("grass", (0.25, 0.55, 0.2), "noise"),
+               ("dirt", (0.45, 0.32, 0.2), "noise"),
+               ("stone", (0.5, 0.5, 0.52), "stone"),
+           ])}
+    grass_m = b.add_material(base_color=(0.25, 0.55, 0.2), name="grass",
+                             base_color_texture=tex["grass"])
+    dirt_m = b.add_material(base_color=(0.45, 0.32, 0.2), name="dirt",
+                            base_color_texture=tex["dirt"])
+    stone_m = b.add_material(base_color=(0.5, 0.5, 0.52), name="stone",
+                             base_color_texture=tex["stone"])
     water_m = b.add_material(ior=1.33, transmission=1.0, name="water")
     glow_m = b.add_material(base_color=(1, 1, 1), emissive=(1.0, 0.85, 0.5),
                             emissive_strength=4.0, name="glowstone")

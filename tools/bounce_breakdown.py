@@ -48,10 +48,11 @@ def capture_state(scene, cam, seed):
     """Run the real renderer to CAPTURE_BOUNCE and return its queue."""
     key_lane, state = _gen_queue(scene, cam, seed, 0,
                                  width=RES, height=RES, waves=WAVES)
+    ks = (jnp.uint32(seed), jnp.uint32(0), jnp.uint32(0))
     cap = WAVES * RES * RES
     for b in range(CAPTURE_BOUNCE):
-        state = _bounce_step(scene, state, key_lane, b, capacity=cap,
-                             primary=(b == 0))
+        state, _term = _bounce_step(scene, state, ks, b, capacity=cap,
+                                    primary=(b == 0))
     return key_lane, state, int(state[13])
 
 
@@ -162,8 +163,10 @@ def main():
         bench("scatter", lambda: stage_scatter(acc, pix, contrib))
         # whole real bounce for reference (donates state; rebuild after)
         t0 = time.perf_counter()
-        out = _bounce_step(scene, state, key_lane, CAPTURE_BOUNCE,
-                           capacity=cap)
+        out, _term = _bounce_step(scene, state,
+                                  (jnp.uint32(10 + run), jnp.uint32(0),
+                                   jnp.uint32(0)),
+                                  CAPTURE_BOUNCE, capacity=cap)
         np.asarray(out[13])
         if run > 0:
             stages.setdefault("whole_bounce", []).append(
