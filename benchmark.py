@@ -148,8 +148,9 @@ def main():
                               f"run={r}: {mrays:.2f} Mrays/s"
                               + (" (warm-up, discarded)"
                                  if r == 0 else ""), flush=True)
-                        row = [renderer, scene, d, s, r, t, mrays,
-                               total]
+                        row = [renderer, scene,
+                               f"{args.width}x{args.height}",
+                               d, s, r, t, mrays, total]
                         raw_rows.append(row)
                         if r > 0:
                             per_run.append((t, mrays, total))
@@ -160,14 +161,16 @@ def main():
                           f"{str(e)[:200]}", flush=True)
                 if per_run:
                     avg_rows.append([
-                        renderer, scene, d, s,
+                        renderer, scene,
+                        f"{args.width}x{args.height}", d, s,
                         statistics.mean(x[0] for x in per_run),
                         statistics.mean(x[1] for x in per_run),
                         statistics.mean(x[2] for x in per_run),
                     ])
                 else:
-                    avg_rows.append([renderer, scene, d, s,
-                                     "nan", "nan", "nan"])
+                    avg_rows.append([renderer, scene,
+                                     f"{args.width}x{args.height}",
+                                     d, s, "nan", "nan", "nan"])
                 # rewrite CSVs after EVERY config: a multi-hour sweep
                 # that dies mid-way still leaves its finished rows
                 _write_csvs(raw_rows, avg_rows)
@@ -179,12 +182,12 @@ def main():
 def _write_csvs(raw_rows, avg_rows):
     with open("benchmark_raw.csv", "w", newline="") as f:
         w = csv.writer(f)
-        w.writerow(["renderer", "scene", "depth", "samples", "run",
-                    "time_s", "mrays_per_sec", "total_rays"])
+        w.writerow(["renderer", "scene", "res", "depth", "samples",
+                    "run", "time_s", "mrays_per_sec", "total_rays"])
         w.writerows(raw_rows)
     with open("benchmark_avg.csv", "w", newline="") as f:
         w = csv.writer(f)
-        w.writerow(["renderer", "scene", "depth", "samples",
+        w.writerow(["renderer", "scene", "res", "depth", "samples",
                     "time_s", "mrays_per_sec", "total_rays"])
         w.writerows(avg_rows)
 

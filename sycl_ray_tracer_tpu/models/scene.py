@@ -178,11 +178,18 @@ def build_device_scene(host: HostScene,
         # it whenever it fits (minecraft_proc 2.06M tris).
         sahb = _sah.build_sah(host.tri_v, leaf_size)
         if sahb.num_internal + sahb.num_leaves < (1 << 24):
-            est = (-(-sahb.num_internal // 32)
-                   + -(-sahb.num_leaves // 8)) * 8 * 128 * 4
+            lt_tiles = -(-sahb.num_leaves // 8)
+            est_f32 = (-(-sahb.num_internal // 16)
+                       + lt_tiles) * 8 * 128 * 4
+            est_bf16 = (-(-sahb.num_internal // 32)
+                        + lt_tiles) * 8 * 128 * 4
             from sycl_ray_tracer_tpu.models.trace import (
                 VMEM_TABLE_LIMIT_BYTES)
-            if est <= VMEM_TABLE_LIMIT_BYTES:
+            # only preempt treelets when f32 genuinely does NOT fit
+            # (a lowered SRT_TREELET_THRESHOLD_TRIS knob must still
+            # force treelets on small scenes)
+            if (est_f32 > VMEM_TABLE_LIMIT_BYTES
+                    >= est_bf16):
                 want_treelets = False
                 force_bf16 = True
             else:

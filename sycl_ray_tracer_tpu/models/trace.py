@@ -75,6 +75,29 @@ V5_PRIMARY = (32, 3, 4)  # (rows, ki, ml)
 V5_BOUNCE = (8, 2, 3)
 
 
+# Treelet ray binning (round-3 VERDICT #6): stable-sort rays by the id
+# of the nearest treelet whose root AABB they enter, so each treelet
+# pass sees mostly-pure packets — packets with NO lane active for a
+# treelet finish in ~2 kernel visits, while the round-2 all-rays-
+# through-all-treelets chaining walked every mixed packet T times.
+# Read at import (env knobs inside traced code silently freeze at
+# first compile — round-1 verdict).
+TL_BIN = os.environ.get("SRT_TL_BIN", "1") != "0"
+
+
+def _permute_packed(cols, perm):
+    """Permute N same-length 1-D arrays as ONE packed [R, N] take
+    (separate takes cost ~Nx one packed take; PLAN_TPU.md)."""
+    packed = jnp.stack(
+        [c if c.dtype == jnp.float32
+         else jax.lax.bitcast_convert_type(c, jnp.float32)
+         for c in cols], axis=1)
+    packed = jnp.take(packed, perm, axis=0)
+    return [packed[:, i] if c.dtype == jnp.float32
+            else jax.lax.bitcast_convert_type(packed[:, i], c.dtype)
+            for i, c in enumerate(cols)]
+
+
 def _intersect_treelets(scene, o: V3, d: V3, active, primary: bool,
                         rows: int | None = None) -> Hit:
     """Chained per-treelet kernel passes (ops/treelets.py design).
@@ -84,7 +107,9 @@ def _intersect_treelets(scene, o: V3, d: V3, active, primary: bool,
     root AABB deactivates lanes that cannot improve. The kernel
     reports tri >= 0 only for strictly closer hits, so combining is a
     select. Hit ids remap from treelet-local slots to the canonical
-    Morton order every shading array uses."""
+    Morton order every shading array uses. With TL_BIN, rays are
+    first stable-sorted by nearest-entered treelet (results are
+    inverse-permuted back, so callers see input order)."""
     from sycl_ray_tracer_tpu.ops.intersect import BIG
     from sycl_ray_tracer_tpu.ops.traverse_pallas5 import (
         traverse_packets5)
@@ -95,6 +120,38 @@ def _intersect_treelets(scene, o: V3, d: V3, active, primary: bool,
     rb, ki, ml = V5_PRIMARY if primary else V5_BOUNCE
     inv = lambda a: jnp.where(jnp.abs(a) > 1e-20, 1.0 / a, 1e20)
     ix, iy, iz = inv(d.x), inv(d.y), inv(d.z)
+
+    perm = None
+    if TL_BIN and scene.tl_count > 1:
+        ents = []
+        for i in range(scene.tl_count):
+            lo, hi = scene.tl_lo[i], scene.tl_hi[i]
+            t1 = (lo[0] - o.x) * ix
+            t2 = (hi[0] - o.x) * ix
+            tmin = jnp.minimum(t1, t2)
+            tmax = jnp.maximum(t1, t2)
+            t1 = (lo[1] - o.y) * iy
+            t2 = (hi[1] - o.y) * iy
+            tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
+            tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
+            t1 = (lo[2] - o.z) * iz
+            t2 = (hi[2] - o.z) * iz
+            tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
+            tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
+            ok = act0 & (tmax >= jnp.maximum(tmin, 0.0))
+            ents.append(jnp.where(ok, tmin, jnp.float32(BIG)))
+        ents = jnp.stack(ents, axis=0)                 # [T, R]
+        first = jnp.argmin(ents, axis=0).astype(jnp.int32)
+        first = jnp.where(ents.min(axis=0) >= jnp.float32(BIG) * 0.5,
+                          jnp.int32(scene.tl_count), first)
+        perm = jnp.argsort(first, stable=True)
+        cols = _permute_packed(
+            [o.x, o.y, o.z, d.x, d.y, d.z,
+             act0.astype(jnp.int32)], perm)
+        o = V3(cols[0], cols[1], cols[2])
+        d = V3(cols[3], cols[4], cols[5])
+        act0 = cols[6] != 0
+        ix, iy, iz = inv(d.x), inv(d.y), inv(d.z)
 
     t_cur = jnp.full((r,), BIG, jnp.float32)
     tri_cur = jnp.full((r,), -1, jnp.int32)
@@ -125,6 +182,10 @@ def _intersect_treelets(scene, o: V3, d: V3, active, primary: bool,
         tri_cur = jnp.where(better, tri_i, tri_cur)
         u_cur = jnp.where(better, hit.u, u_cur)
         v_cur = jnp.where(better, hit.v, v_cur)
+    if perm is not None:
+        inv_perm = jnp.argsort(perm)
+        t_cur, tri_cur, u_cur, v_cur = _permute_packed(
+            [t_cur, tri_cur, u_cur, v_cur], inv_perm)
     return Hit(t=t_cur, tri=tri_cur, u=u_cur, v=v_cur)
 
 
