@@ -63,13 +63,16 @@ class DeviceScene:
     tri_n: jnp.ndarray     # [LK, 3, 3] unit shading normals (world)
     tri_uv: jnp.ndarray    # [LK, 3, 2]
     tri_mat: jnp.ndarray   # [LK] int32
-    # Packed shading table, TRANSPOSED (component-major): everything
-    # one bounce's shading gather needs, fetched with ONE lane-axis
-    # gather whose [25, R] result keeps rays in the 128-lane dim (a
-    # row-major [R, 25+] result is lane-PADDED to 128 — +8.6 GB at a
-    # 16M-ray wave, the round-2 OOM). Rows: 0-8 normals, 9-14 uv,
-    # 15 mtype, 16-18 albedo, 19 tex, 20 rough, 21 ior, 22-24 emissive.
-    shade_tbl: jnp.ndarray  # [25, LK] float32
+    # Packed shading table, ROW-major (triangle-major): everything one
+    # bounce's shading gather needs in ONE row take. Measured round 3
+    # (tools/probe_shade_gather.py): the row take runs at 37-70 Mrows/s
+    # vs the round-2 lane-axis [25, LK] layout's 23-31 — 2.2x at every
+    # production bucket size. Its [R, 25] result IS lane-padded to 128
+    # by XLA (+4.3 GB transient at 8M rays — the round-2 OOM hazard at
+    # 16M), so shade_lanes takes in <=2M-row chunks, bounding the
+    # transient at ~1 GB. Cols: 0-8 normals, 9-14 uv, 15 mtype,
+    # 16-18 albedo, 19 tex, 20 rough, 21 ior, 22-24 emissive.
+    shade_tbl: jnp.ndarray  # [LK, 25] float32
     # Material table (SoA tagged union; utils/gltf.py classification)
     mat_type: jnp.ndarray      # [M] int32 (0 diffuse, 1 metallic, 2 dielectric)
     mat_albedo: jnp.ndarray    # [M, 3]
@@ -303,12 +306,12 @@ def build_device_scene(host: HostScene,
         tl_count, tl_ni = 0, 1
 
     m = host.materials
-    # Packed per-triangle shading table: ONE lane-axis gather per
-    # bounce replaces the [R,3,3]+[R,3,2] takes and the whole
-    # tri_mat -> material-table gather chain. Measured on v5e at 16M
-    # rays: 249 ms vs 449 ms for just the two shaped takes (PLAN_TPU).
-    # Values are bit-identical to the unpacked path (ints stored as
-    # exact small f32).
+    # Packed per-triangle shading table: ONE take per bounce replaces
+    # the [R,3,3]+[R,3,2] takes and the whole tri_mat -> material-table
+    # gather chain (round 2), stored triangle-major since round 3
+    # (row takes measured 2.2x the lane-axis layout; see the
+    # DeviceScene field comment). Values are bit-identical to the
+    # unpacked path (ints stored as exact small f32).
     lk = tri_n.shape[0]
     stbl = np.zeros((25, lk), np.float32)
     stbl[0:9] = tri_n.reshape(lk, 9).T
@@ -321,7 +324,7 @@ def build_device_scene(host: HostScene,
         stbl[21] = m.ior[tri_mat]
         stbl[22:25] = m.emissive[tri_mat].T
     return DeviceScene(
-        shade_tbl=jnp.asarray(stbl),
+        shade_tbl=jnp.asarray(np.ascontiguousarray(stbl.T)),
         bvh_nodes=jnp.asarray(bvh.nodes),
         bvh_children=jnp.asarray(bvh.children),
         bvh_leaves=jnp.asarray(bvh.leaves),

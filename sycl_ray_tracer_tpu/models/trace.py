@@ -87,15 +87,33 @@ TL_BIN = os.environ.get("SRT_TL_BIN", "1") != "0"
 
 def _permute_packed(cols, perm):
     """Permute N same-length 1-D arrays as ONE packed [R, N] take
-    (separate takes cost ~Nx one packed take; PLAN_TPU.md)."""
-    packed = jnp.stack(
-        [c if c.dtype == jnp.float32
-         else jax.lax.bitcast_convert_type(c, jnp.float32)
-         for c in cols], axis=1)
+    (separate takes cost ~Nx one packed take; PLAN_TPU.md).
+
+    int32 columns do NOT ride as raw bitcasts: tri = -1 is bit pattern
+    0xFFFFFFFF, a quiet NaN that XLA:TPU may CANONICALIZE in transit
+    (measured round 3: every permuted miss id came back 0x7FC00000 =
+    +2139095040, turning misses into hits and making every bounce-10
+    ray immortal). Values are biased into a guaranteed-normal float
+    range instead: bits = (v + 1) | 0x40000000 (valid for
+    -1 <= v < 2^30 - 1, which covers tri ids, queue ids, and flags) —
+    normal floats are never rewritten by the FPU."""
+    def enc(c):
+        if c.dtype == jnp.float32:
+            return c
+        return jax.lax.bitcast_convert_type(
+            (c.astype(jnp.int32) + 1) | jnp.int32(0x40000000),
+            jnp.float32)
+
+    def dec(p, dt):
+        if dt == jnp.float32:
+            return p
+        v = (jax.lax.bitcast_convert_type(p, jnp.int32)
+             & jnp.int32(0x3FFFFFFF)) - 1
+        return v.astype(dt)
+
+    packed = jnp.stack([enc(c) for c in cols], axis=1)
     packed = jnp.take(packed, perm, axis=0)
-    return [packed[:, i] if c.dtype == jnp.float32
-            else jax.lax.bitcast_convert_type(packed[:, i], c.dtype)
-            for i, c in enumerate(cols)]
+    return [dec(packed[:, i], c.dtype) for i, c in enumerate(cols)]
 
 
 def _intersect_treelets(scene, o: V3, d: V3, active, primary: bool,
@@ -282,15 +300,29 @@ def shade_lanes(scene, hit: Hit):
     lanes; callers mask).
 
     Parity: barycentric normal/UV interpolation + normalize of
-    trace_ray.hpp:32-59. ONE lane-axis gather from the TRANSPOSED
-    packed table (scene.shade_tbl [25, LK]) supplies normals, uv, and
-    the baked per-triangle material constants: 249 ms at a 16M-ray
-    wave vs 449 ms for just the two round-1 shaped takes. Row-major
-    packed gathers ([R, 25+]) are lane-PADDED to 128 and OOM at 16M
-    rays (+8.6 GB) — the ray dim must stay in lanes."""
+    trace_ray.hpp:32-59. ONE row take from the triangle-major packed
+    table (scene.shade_tbl [LK, 25]) supplies normals, uv, and the
+    baked per-triangle material constants. Row takes measured 2.2x the
+    round-2 lane-axis layout at every bucket size (row 37-70 vs lane
+    23-31 Mrows/s, tools/probe_shade_gather.py) — but their [R, 25]
+    results are lane-PADDED to 128 by XLA (the round-2 16M-wave OOM),
+    so the take runs in <=2M-row chunks, bounding the padded transient
+    at ~1 GB. Chunk count is static (R is the compiled bucket size)."""
     safe_tri = jnp.maximum(hit.tri, 0)
-    g = jnp.take(scene.shade_tbl, safe_tri, axis=1)     # [25, R]
-    c = [g[i] for i in range(25)]
+    R = safe_tri.shape[0]
+    CH = 1 << 21
+
+    def take_cols(idx):
+        g = jnp.take(scene.shade_tbl, idx, axis=0)      # [ch, 25]
+        return [g[:, i] for i in range(25)]
+
+    if R <= CH:
+        c = take_cols(safe_tri)
+    else:
+        chunks = [take_cols(safe_tri[i:i + CH])
+                  for i in range(0, R, CH)]
+        c = [jnp.concatenate([ch[i] for ch in chunks])
+             for i in range(25)]
     w = 1.0 - hit.u - hit.v
     normal = normalize(V3(
         w * c[0] + hit.u * c[3] + hit.v * c[6],

@@ -19,6 +19,14 @@ np.asarray sync, trip-count asserted, two-iteration-count slope):
 
 Go/no-go: bf16x2 slope ~= f32x1 slope => bf16 halves the chain (GO);
 bf16x2 ~= f32x2 => relayout/convert overhead eats it (NO-GO).
+
+RESULT (round 3, v5e via axon): NO-GO at the toolchain level — the
+bf16x2 mode never runs. Mosaic has no bf16 dynamic_gather (compile
+error on vector<16x128xbf16> gather); routing around it with an f32
+gather + pltpu.bitcast widen hits unsupported bf16 compares (cmpf on
+the packed vector<8x128x2xbf16> layout fails to lower), and even a
+plain-load (16,128) bf16 min/where kernel crashes the compile helper.
+bf16 remains storage-only (cfmt="bf16p", unpack-to-f32 in-loop).
 """
 
 import functools
@@ -43,8 +51,13 @@ def bg(tile, lane, n=8):
 
 
 def bg16(tile, lane):
-    idx = jnp.full((16, 128), lane, jnp.int32)
-    return jnp.take_along_axis(tile, idx, axis=1)
+    # Mosaic's dynamic_gather has no bf16 form (measured: compile
+    # error); gather the f32 view (2 packed bf16 per lane) and
+    # pltpu.bitcast-widen (8,128)f32 -> (16,128)bf16 (verified
+    # supported on this toolchain).
+    idx = jnp.full((8, 128), lane, jnp.int32)
+    g = jnp.take_along_axis(tile, idx, axis=1)
+    return pltpu.bitcast(g, jnp.bfloat16)
 
 
 def _slab(lox, loy, loz, hix, hiy, hiz, ox, ix):
@@ -81,7 +94,7 @@ def make_kernel(iters, mode):
             sp = sp - 1
             nd = jnp.minimum(node, NT - 1)
             if mode == "bf16x2":
-                tile = tiles16_ref[nd]
+                tile = tiles_ref[nd]   # f32 view; bg16 bitcast-widens
                 base = 8 * (nd % 16)
                 lox = bg16(tile, base + 0)
                 loy = bg16(tile, base + 1)
