@@ -105,12 +105,23 @@ def main():
                     help="render in-process instead of one CLI "
                          "subprocess per run (shares compilations "
                          "across the whole sweep; see run_once_inproc)")
+    ap.add_argument("--append", action="store_true",
+                    help="keep existing CSV rows; new rows replace "
+                         "only matching (renderer, scene, res, depth, "
+                         "samples) configs — for adding resolution "
+                         "subsets without redoing the whole matrix")
     args = ap.parse_args()
     ctx = {}
     if args.inproc:
-        import jax
         import os as _os
 
+        import jax
+
+        # same backend override the CLI honors (__main__.py): a site
+        # plugin may pin jax_platforms via config, outranking env vars
+        if _os.environ.get("SRT_PLATFORM"):
+            jax.config.update("jax_platforms",
+                              _os.environ["SRT_PLATFORM"])
         jax.config.update(
             "jax_compilation_cache_dir",
             _os.path.expanduser("~/.cache/jax_comp"))
@@ -125,6 +136,9 @@ def main():
 
     raw_rows = []
     avg_rows = []
+    old_raw, old_avg = ([], [])
+    if args.append:
+        old_raw, old_avg = _read_csvs()
     # wavefront groups run first: they are ~5x faster, so an
     # interrupted sweep retains the most rows (CSVs rewrite per config)
     for renderer, flag in (("wavefront", "-w"), ("megakernel", "-m")):
@@ -173,10 +187,44 @@ def main():
                                      d, s, "nan", "nan", "nan"])
                 # rewrite CSVs after EVERY config: a multi-hour sweep
                 # that dies mid-way still leaves its finished rows
-                _write_csvs(raw_rows, avg_rows)
+                _write_csvs(_merge(old_raw, raw_rows),
+                            _merge(old_avg, avg_rows))
 
-    _write_csvs(raw_rows, avg_rows)
+    _write_csvs(_merge(old_raw, raw_rows), _merge(old_avg, avg_rows))
     print("wrote benchmark_raw.csv, benchmark_avg.csv")
+
+
+def _merge(old_rows, new_rows):
+    """Old rows first, minus any whose (renderer, scene, res, depth,
+    samples) config was re-measured in this sweep."""
+    if not old_rows:
+        return new_rows
+    redone = {tuple(str(x) for x in r[:5]) for r in new_rows}
+    kept = [r for r in old_rows
+            if tuple(str(x) for x in r[:5]) not in redone]
+    return kept + new_rows
+
+
+def _read_csvs():
+    """Existing CSV rows (raw, avg), tolerant of the pre-round-3
+    7/8-column schema (no res column): legacy rows get res=512x512,
+    the resolution every checked-in round-2 row was measured at."""
+    out = []
+    for path, ncols in (("benchmark_raw.csv", 9),
+                        ("benchmark_avg.csv", 8)):
+        rows = []
+        try:
+            with open(path, newline="") as f:
+                for i, row in enumerate(csv.reader(f)):
+                    if i == 0 or not row:
+                        continue
+                    if len(row) == ncols - 1:
+                        row = row[:2] + ["512x512"] + row[2:]
+                    rows.append(row)
+        except FileNotFoundError:
+            pass
+        out.append(rows)
+    return out[0], out[1]
 
 
 def _write_csvs(raw_rows, avg_rows):
