@@ -78,11 +78,15 @@ V5_BOUNCE = (8, 2, 3)
 # Treelet ray binning (round-3 VERDICT #6): stable-sort rays by the id
 # of the nearest treelet whose root AABB they enter, so each treelet
 # pass sees mostly-pure packets — packets with NO lane active for a
-# treelet finish in ~2 kernel visits, while the round-2 all-rays-
-# through-all-treelets chaining walked every mixed packet T times.
+# treelet finish in ~2 kernel visits, while the all-rays-through-all-
+# treelets chaining walks every mixed packet T times. Measured OFF by
+# default: the wavefront queue is already Morton-sorted by origin, so
+# rays arrive mostly treelet-grouped and the bin/unbin permutes cost
+# more than the grouping recovers (minecraft_proc 1024^2 spp16 d10
+# warm: binned 2.73 vs chained 3.15 Mrays/s, identical ray totals).
 # Read at import (env knobs inside traced code silently freeze at
 # first compile — round-1 verdict).
-TL_BIN = os.environ.get("SRT_TL_BIN", "1") != "0"
+TL_BIN = os.environ.get("SRT_TL_BIN", "0") != "0"
 
 
 def _permute_packed(cols, perm):

@@ -70,8 +70,10 @@ def _interpret_treelet_hit(scene, o, d, active=None, primary=False):
         TP5.pl.pallas_call = orig
 
 
-@pytest.mark.parametrize("seed", [0, 3])
-def test_treelet_traversal_matches_single_tree(monkeypatch, seed):
+@pytest.mark.parametrize("seed,tl_bin", [(0, False), (3, False),
+                                         (0, True)])
+def test_treelet_traversal_matches_single_tree(monkeypatch, seed,
+                                               tl_bin):
     import jax.numpy as jnp
 
     from sycl_ray_tracer_tpu.models.scene import build_device_scene
@@ -84,6 +86,10 @@ def test_treelet_traversal_matches_single_tree(monkeypatch, seed):
     # force the treelet path on a small scene: ~22K tris, ~6 treelets
     monkeypatch.setenv("SRT_TREELET_THRESHOLD_TRIS", "1000")
     monkeypatch.setenv("SRT_TREELET_MAX_TRIS", "4096")
+    # cover the optional ray-binning variant (off by default; the
+    # bin permute + NaN-safe int encoding must be result-invariant)
+    from sycl_ray_tracer_tpu.models import trace as _trace
+    monkeypatch.setattr(_trace, "TL_BIN", tl_bin)
     host = load_glb(sponza_like_glb(scale=1))
     scene = build_device_scene(host, leaf_size=8)
     assert scene.tl_count >= 4
