@@ -63,16 +63,19 @@ class DeviceScene:
     tri_n: jnp.ndarray     # [LK, 3, 3] unit shading normals (world)
     tri_uv: jnp.ndarray    # [LK, 3, 2]
     tri_mat: jnp.ndarray   # [LK] int32
-    # Packed shading table, ROW-major (triangle-major): everything one
-    # bounce's shading gather needs in ONE row take. Measured round 3
-    # (tools/probe_shade_gather.py): the row take runs at 37-70 Mrows/s
-    # vs the round-2 lane-axis [25, LK] layout's 23-31 — 2.2x at every
-    # production bucket size. Its [R, 25] result IS lane-padded to 128
-    # by XLA (+4.3 GB transient at 8M rays — the round-2 OOM hazard at
-    # 16M), so shade_lanes takes in <=2M-row chunks, bounding the
-    # transient at ~1 GB. Cols: 0-8 normals, 9-14 uv, 15 mtype,
-    # 16-18 albedo, 19 tex, 20 rough, 21 ior, 22-24 emissive.
-    shade_tbl: jnp.ndarray  # [LK, 25] float32
+    # Packed shading table, ROW-major (triangle-major): the per-ray
+    # GEOMETRY a bounce's shading gather needs in ONE row take.
+    # Measured round 3 (tools/probe_shade_gather.py): row takes run at
+    # 37-70 Mrows/s vs the round-2 lane-axis layout's 23-31 — 2.2x at
+    # every production bucket size. The [R, W] result IS lane-padded to
+    # 128 by XLA (the round-2 OOM hazard at 16M), so shade_lanes takes
+    # in <=2M-row chunks. Material CONSTANTS are deliberately NOT baked
+    # per-triangle here: tools/probe_shade_variants.py measured the
+    # 16-wide geometry take + 10 tiny [M]-table takes keyed by the
+    # gathered mat id at 37.3 vs 32.2 Mrows/s for the 25-wide bake at
+    # 8M rays (the [M] takes are cache-resident; the wide take pays per
+    # component). Cols: 0-8 normals, 9-14 uv, 15 mat id.
+    shade_tbl: jnp.ndarray  # [LK, 16] float32
     # Material table (SoA tagged union; utils/gltf.py classification)
     mat_type: jnp.ndarray      # [M] int32 (0 diffuse, 1 metallic, 2 dielectric)
     mat_albedo: jnp.ndarray    # [M, 3]
@@ -307,22 +310,17 @@ def build_device_scene(host: HostScene,
 
     m = host.materials
     # Packed per-triangle shading table: ONE take per bounce replaces
-    # the [R,3,3]+[R,3,2] takes and the whole tri_mat -> material-table
-    # gather chain (round 2), stored triangle-major since round 3
-    # (row takes measured 2.2x the lane-axis layout; see the
-    # DeviceScene field comment). Values are bit-identical to the
-    # unpacked path (ints stored as exact small f32).
+    # the [R,3,3]+[R,3,2] takes (round 2), stored triangle-major since
+    # round 3 (row takes measured 2.2x the lane-axis layout), 16 wide
+    # since round 3's lane16 probe (material constants come from the
+    # tiny [M] tables instead; see the DeviceScene field comment).
+    # Values are bit-identical to the unpacked path (ints stored as
+    # exact small f32).
     lk = tri_n.shape[0]
-    stbl = np.zeros((25, lk), np.float32)
+    stbl = np.zeros((16, lk), np.float32)
     stbl[0:9] = tri_n.reshape(lk, 9).T
     stbl[9:15] = tri_uv.reshape(lk, 6).T
-    if len(m.mtype):
-        stbl[15] = m.mtype[tri_mat].astype(np.float32)
-        stbl[16:19] = m.albedo[tri_mat].T
-        stbl[19] = m.tex_id[tri_mat].astype(np.float32)
-        stbl[20] = m.roughness[tri_mat]
-        stbl[21] = m.ior[tri_mat]
-        stbl[22:25] = m.emissive[tri_mat].T
+    stbl[15] = tri_mat.astype(np.float32)
     return DeviceScene(
         shade_tbl=jnp.asarray(np.ascontiguousarray(stbl.T)),
         bvh_nodes=jnp.asarray(bvh.nodes),

@@ -305,20 +305,25 @@ def shade_lanes(scene, hit: Hit):
 
     Parity: barycentric normal/UV interpolation + normalize of
     trace_ray.hpp:32-59. ONE row take from the triangle-major packed
-    table (scene.shade_tbl [LK, 25]) supplies normals, uv, and the
-    baked per-triangle material constants. Row takes measured 2.2x the
-    round-2 lane-axis layout at every bucket size (row 37-70 vs lane
-    23-31 Mrows/s, tools/probe_shade_gather.py) — but their [R, 25]
-    results are lane-PADDED to 128 by XLA (the round-2 16M-wave OOM),
-    so the take runs in <=2M-row chunks, bounding the padded transient
-    at ~1 GB. Chunk count is static (R is the compiled bucket size)."""
+    GEOMETRY table (scene.shade_tbl [LK, 16]: normals, uv, mat id)
+    plus ten tiny [M]-table takes keyed by the gathered mat id for the
+    material constants. Measured round 3 (tools/probe_shade_variants.py,
+    under the real access pattern — disjoint outputs, no reduction
+    fusion): lane16 split 37.3 vs 32.2 Mrows/s for the 25-wide
+    per-triangle bake at 8M rays (the [M] takes are cache-resident;
+    the wide take pays per component). Row takes measured 2.2x the
+    round-2 lane-axis layout (tools/probe_shade_gather.py) — but their
+    [R, 16] results are lane-PADDED to 128 by XLA (the round-2 16M-wave
+    OOM), so the take runs in <=2M-row chunks, bounding the padded
+    transient at ~1 GB. Chunk count is static (R is the compiled
+    bucket size)."""
     safe_tri = jnp.maximum(hit.tri, 0)
     R = safe_tri.shape[0]
     CH = 1 << 21
 
     def take_cols(idx):
-        g = jnp.take(scene.shade_tbl, idx, axis=0)      # [ch, 25]
-        return [g[:, i] for i in range(25)]
+        g = jnp.take(scene.shade_tbl, idx, axis=0)      # [ch, 16]
+        return [g[:, i] for i in range(16)]
 
     if R <= CH:
         c = take_cols(safe_tri)
@@ -326,7 +331,7 @@ def shade_lanes(scene, hit: Hit):
         chunks = [take_cols(safe_tri[i:i + CH])
                   for i in range(0, R, CH)]
         c = [jnp.concatenate([ch[i] for ch in chunks])
-             for i in range(25)]
+             for i in range(16)]
     w = 1.0 - hit.u - hit.v
     normal = normalize(V3(
         w * c[0] + hit.u * c[3] + hit.v * c[6],
@@ -335,13 +340,18 @@ def shade_lanes(scene, hit: Hit):
     ), eps=1e-20)
     uv_u = w * c[9] + hit.u * c[11] + hit.v * c[13]
     uv_v = w * c[10] + hit.u * c[12] + hit.v * c[14]
+    mid = c[15].astype(jnp.int32)
     mat = mats.MatLanes(
-        mtype=c[15].astype(jnp.int32),
-        albedo=V3(c[16], c[17], c[18]),
-        tex=c[19].astype(jnp.int32),
-        rough=c[20],
-        ior=c[21],
-        emissive=V3(c[22], c[23], c[24]),
+        mtype=jnp.take(scene.mat_type, mid),
+        albedo=V3(jnp.take(scene.mat_albedo[:, 0], mid),
+                  jnp.take(scene.mat_albedo[:, 1], mid),
+                  jnp.take(scene.mat_albedo[:, 2], mid)),
+        tex=jnp.take(scene.mat_tex, mid),
+        rough=jnp.take(scene.mat_rough, mid),
+        ior=jnp.take(scene.mat_ior, mid),
+        emissive=V3(jnp.take(scene.mat_emissive[:, 0], mid),
+                    jnp.take(scene.mat_emissive[:, 1], mid),
+                    jnp.take(scene.mat_emissive[:, 2], mid)),
     )
     return normal, uv_u, uv_v, mat
 

@@ -68,7 +68,8 @@ def _traverse_subpacket5(ctiles_ref, ltiles_ref,
                          t_ref, tri_ref, u_ref, v_ref,
                          stack_ref, lq_ref, keybuf_ref, idbuf_ref,
                          *, ni: int, k: int, rb: int, ki: int, ml: int,
-                         row0: int, cfmt: str = "f32"):
+                         row0: int, cfmt: str = "f32",
+                         stats_ref=None):
     rows = [row0 + r for r in range(rb)]
     ox = [ox_ref[r:r + 1, :] for r in rows]
     oy = [oy_ref[r:r + 1, :] for r in rows]
@@ -97,15 +98,20 @@ def _traverse_subpacket5(ctiles_ref, ltiles_ref,
     lane_i = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
     fni = jnp.float32(ni)
 
-    # carry: (sp, lhead, ltail, t(rb), tri(rb), u(rb), v(rb))
+    # carry: (sp, lhead, ltail, t(rb), tri(rb), u(rb), v(rb)
+    #         [, 3 stats counters])
+    zc = jnp.zeros((1, 128), jnp.float32)
     carry0 = (jnp.int32(1), jnp.int32(0), jnp.int32(0),
               tuple(t0), tuple(tm1), tuple(zz), tuple(zz))
+    if stats_ref is not None:
+        carry0 = carry0 + ((zc, zc, zc),)
 
     def cond(c):
         return (c[0] > 0) | (c[2] > c[1])
 
     def body(c):
-        sp, lh, lt, t_best, tri_best, ub, vb = c
+        sp, lh, lt, t_best, tri_best, ub, vb = c[:7]
+        cnts = c[7] if stats_ref is not None else None
 
         # ---- pop K internal nodes (gated) ----
         # Ring-occupancy guard (round-2 advisor finding): each pop can
@@ -207,6 +213,46 @@ def _traverse_subpacket5(ctiles_ref, ltiles_ref,
             e2x = _bcast_gather(ltile, lbase + 6)
             e2y = _bcast_gather(ltile, lbase + 7)
             e2z = _bcast_gather(ltile, lbase + 8)
+            if stats_ref is not None:
+                # measurement only: would a drain-time per-lane slab
+                # test against the CURRENT t_best have skipped this
+                # leaf's whole MT block? Leaf bbox is derived from its
+                # 8 triangles (v0, v0+e1, v0+e2 per axis).
+                drain_f = have_l.astype(jnp.float32)
+                pass_any = jnp.zeros((1, 128), jnp.float32)
+                imp_any = jnp.zeros((1, 128), jnp.float32)
+                ext = []
+                for vv0, ee1, ee2 in ((v0x, e1x, e2x),
+                                      (v0y, e1y, e2y),
+                                      (v0z, e1z, e2z)):
+                    pts_lo = jnp.minimum(jnp.minimum(vv0, vv0 + ee1),
+                                         vv0 + ee2)
+                    pts_hi = jnp.maximum(jnp.maximum(vv0, vv0 + ee1),
+                                         vv0 + ee2)
+                    ext.append((jnp.min(pts_lo, axis=0, keepdims=True),
+                                jnp.max(pts_hi, axis=0, keepdims=True)))
+                for i in range(rb):
+                    (lox, hix), (loy, hiy), (loz, hiz) = ext
+                    t1x = (lox - ox[i]) * ix[i]
+                    t2x = (hix - ox[i]) * ix[i]
+                    t1y = (loy - oy[i]) * iy[i]
+                    t2y = (hiy - oy[i]) * iy[i]
+                    t1z = (loz - oz[i]) * iz[i]
+                    t2z = (hiz - oz[i]) * iz[i]
+                    tmn = jnp.maximum(
+                        jnp.maximum(jnp.minimum(t1x, t2x),
+                                    jnp.minimum(t1y, t2y)),
+                        jnp.minimum(t1z, t2z))
+                    tmx = jnp.minimum(
+                        jnp.minimum(jnp.maximum(t1x, t2x),
+                                    jnp.maximum(t1y, t2y)),
+                        jnp.maximum(t1z, t2z))
+                    p = ((tmx >= jnp.maximum(tmn, TNEAR))
+                         & (tmn < t_new[i]))
+                    pass_any = jnp.maximum(
+                        pass_any,
+                        jnp.max(p.astype(jnp.float32), axis=1,
+                                keepdims=True))
             for i in range(rb):
                 px = dy[i] * e2z - dz[i] * e2y
                 py = dz[i] * e2x - dx[i] * e2z
@@ -241,6 +287,16 @@ def _traverse_subpacket5(ctiles_ref, ltiles_ref,
                                        tri_new[i])
                 u_new[i] = jnp.where(has, usel, u_new[i])
                 v_new[i] = jnp.where(has, vsel, v_new[i])
+                if stats_ref is not None:
+                    imp_any = jnp.maximum(
+                        imp_any,
+                        jnp.max(has.astype(jnp.float32), axis=1,
+                                keepdims=True))
+            if stats_ref is not None:
+                cd, cn, cs = cnts
+                cnts = (cd + drain_f,
+                        cn + drain_f * (1.0 - imp_any),
+                        cs + drain_f * (1.0 - pass_any))
         lh = lh0 + jnp.minimum(lt - lh0, ml)
 
         # ---- ONE readback sync for all K nodes ----
@@ -280,25 +336,44 @@ def _traverse_subpacket5(ctiles_ref, ltiles_ref,
                 lcnt = lcnt + lhit[j]
             lt = lt + lcnt
 
-        return (sp, lh, lt, tuple(t_new), tuple(tri_new),
-                tuple(u_new), tuple(v_new))
+        out = (sp, lh, lt, tuple(t_new), tuple(tri_new),
+               tuple(u_new), tuple(v_new))
+        if stats_ref is not None:
+            out = out + (cnts,)
+        return out
 
-    (_, _, _, t_best, tri_best, ub, vb) = jax.lax.while_loop(
-        cond, body, carry0)
+    fin = jax.lax.while_loop(cond, body, carry0)
+    t_best, tri_best, ub, vb = fin[3:7]
 
     for i, r in enumerate(rows):
         t_ref[r:r + 1, :] = jnp.where(act[i], t_best[i], 0.0)
         tri_ref[r:r + 1, :] = jnp.where(act[i], tri_best[i], -1)
         u_ref[r:r + 1, :] = ub[i]
         v_ref[r:r + 1, :] = vb[i]
+    if stats_ref is not None:
+        cd, cn, cs = fin[7]
+        if row0 == 0:   # first subpacket of the block initializes
+            stats_ref[0:1, :] = cd
+            stats_ref[1:2, :] = cn
+            stats_ref[2:3, :] = cs
+            stats_ref[3:8, :] = jnp.zeros((5, 128), jnp.float32)
+        else:
+            stats_ref[0:1, :] = stats_ref[0:1, :] + cd
+            stats_ref[1:2, :] = stats_ref[1:2, :] + cn
+            stats_ref[2:3, :] = stats_ref[2:3, :] + cs
 
 
 def _packet_kernel5(ctiles_ref, ltiles_ref,
                     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                     act_ref, t0_ref, t_ref, tri_ref, u_ref, v_ref,
-                    stack_ref, lq_ref, keybuf_ref, idbuf_ref,
-                    *, ni: int, k: int, rb: int, ki: int, ml: int,
-                    cfmt: str = "f32"):
+                    *refs, ni: int, k: int, rb: int, ki: int, ml: int,
+                    cfmt: str = "f32", stats: bool = False):
+    if stats:
+        (stats_ref, stack_ref, lq_ref,
+         keybuf_ref, idbuf_ref) = refs
+    else:
+        stats_ref = None
+        stack_ref, lq_ref, keybuf_ref, idbuf_ref = refs
     for s in range(max(rb, 8) // rb):
         _traverse_subpacket5(
             ctiles_ref, ltiles_ref, ox_ref, oy_ref, oz_ref,
@@ -306,12 +381,12 @@ def _packet_kernel5(ctiles_ref, ltiles_ref,
             t_ref, tri_ref, u_ref, v_ref,
             stack_ref, lq_ref, keybuf_ref, idbuf_ref,
             ni=ni, k=k, rb=rb, ki=ki, ml=ml, row0=s * rb,
-            cfmt=cfmt)
+            cfmt=cfmt, stats_ref=stats_ref)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("ni", "leaf_size", "rows", "ki",
-                                    "ml", "cfmt"))
+                                    "ml", "cfmt", "stats"))
 def traverse_packets5(ctiles: jnp.ndarray, ltiles: jnp.ndarray,
                       ni: int, leaf_size: int, o: V3, d: V3,
                       active: jnp.ndarray | None = None,
@@ -319,11 +394,16 @@ def traverse_packets5(ctiles: jnp.ndarray, ltiles: jnp.ndarray,
                       ki: int | None = None,
                       ml: int | None = None,
                       t_init: jnp.ndarray | None = None,
-                      cfmt: str = "f32") -> Hit:
+                      cfmt: str = "f32", stats: bool = False):
     """Drop-in alternative to traverse_packets2 (same tables/API).
 
     t_init: optional [R] incumbent hit distances (treelet chaining,
-    ops/treelets.py) — only strictly closer hits are reported."""
+    ops/treelets.py) — only strictly closer hits are reported.
+
+    stats=True (measurement only, tools/probe_leaf_waste.py) returns
+    (Hit, stats [G, 8, 128]) where per packet-grid block lane 0 of
+    rows 0/1/2 counts leaf drains / drains where no lane improved /
+    drains a per-lane slab re-test vs current t would have skipped."""
     rb = rows or PACKET_ROWS5
     ki = ki or KI
     ml = ml or ML
@@ -362,15 +442,22 @@ def traverse_packets5(ctiles: jnp.ndarray, ltiles: jnp.ndarray,
         jax.ShapeDtypeStruct((rp // 128, 128), jnp.float32),
         jax.ShapeDtypeStruct((rp // 128, 128), jnp.float32),
     ]
+    out_specs = [ray_spec] * 4
+    if stats:
+        out_shape.append(
+            jax.ShapeDtypeStruct((grid * 8, 128), jnp.float32))
+        out_specs.append(pl.BlockSpec((8, 128), lambda g: (g, 0),
+                                      memory_space=pltpu.VMEM))
 
     kernel = functools.partial(_packet_kernel5, ni=ni, k=leaf_size,
-                               rb=rb, ki=ki, ml=ml, cfmt=cfmt)
-    t, tri, u, v = pl.pallas_call(
+                               rb=rb, ki=ki, ml=ml, cfmt=cfmt,
+                               stats=stats)
+    outs = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
         + [ray_spec] * 8,
-        out_specs=[ray_spec] * 4,
+        out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[pltpu.SMEM((_STACK + 1,), jnp.int32),
                         pltpu.SMEM((_LQ + 1,), jnp.int32),
@@ -379,6 +466,10 @@ def traverse_packets5(ctiles: jnp.ndarray, ltiles: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(ctiles, ltiles, *args)
+    t, tri, u, v = outs[:4]
 
     flat = lambda a: a.reshape(rp)[:r]
-    return Hit(t=flat(t), tri=flat(tri), u=flat(u), v=flat(v))
+    hit = Hit(t=flat(t), tri=flat(tri), u=flat(u), v=flat(v))
+    if stats:
+        return hit, outs[4].reshape(grid, 8, 128)
+    return hit
