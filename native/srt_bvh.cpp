@@ -8,8 +8,10 @@
 // 128-ray packets on sponza_proc). This builder produces an
 // explicit-pointer 8-wide tree:
 //
-//   1. top-down binary binned SAH (16 bins, split axis = largest
-//      centroid extent, forced split while count > leaf capacity),
+//   1. top-down binary binned SAH (16 bins, all 3 axes swept and the
+//      cheapest (axis, bin) split taken — round-3: the largest-extent-
+//      only sweep left ~5-10% SAH on the table on architectural
+//      scenes; forced split while count > leaf capacity),
 //   2. collapse to 8-wide by repeatedly expanding the child with the
 //      largest surface area (classic BVH8 collapse),
 //   3. emit component-major children rows [NI, 48] + child ids
@@ -101,18 +103,12 @@ struct Builder {
       float p[3] = {c.x, c.y, c.z};
       cb.grow(p);
     }
-    int axis = 0;
-    float ext = cb.hi[0] - cb.lo[0];
-    for (int c = 1; c < 3; c++) {
-      float e = cb.hi[c] - cb.lo[c];
-      if (e > ext) { ext = e; axis = c; }
-    }
-
-    int32_t mid;
-    if (ext <= 1e-20f) {
-      mid = start + count / 2;  // degenerate: median split
-    } else {
-      // binned SAH sweep
+    // binned SAH sweep over ALL 3 axes; cheapest (axis, bin) wins
+    float best = kInf;
+    int best_axis = -1, best_b = -1;
+    for (int axis = 0; axis < 3; axis++) {
+      float ext = cb.hi[axis] - cb.lo[axis];
+      if (ext <= 1e-20f) continue;
       Box bin_box[kBins];
       int32_t bin_cnt[kBins] = {0};
       float k1 = kBins * (1.0f - 1e-6f) / ext;
@@ -141,26 +137,36 @@ struct Builder {
       }
       acc = Box();
       cnt = 0;
-      float best = kInf;
-      int best_b = -1;
       for (int b = 0; b < kBins - 1; b++) {
         acc.grow(bin_box[b]);
         cnt += bin_cnt[b];
         if (cnt == 0 || rcnt[b + 1] == 0) continue;
         float cost = acc.area() * cnt + rarea[b + 1] * rcnt[b + 1];
-        if (cost < best) { best = cost; best_b = b; }
+        if (cost < best) { best = cost; best_axis = axis; best_b = b; }
       }
-      if (best_b < 0) {
-        mid = start + count / 2;
-      } else {
-        auto* base = order.data();
-        auto* split = std::partition(
-            base + start, base + start + count,
-            [&](int32_t t) { return bin_of(t) <= best_b; });
-        mid = (int32_t)(split - base);
-        if (mid == start || mid == start + count)
-          mid = start + count / 2;  // partition failed; median
-      }
+    }
+
+    int32_t mid;
+    if (best_b < 0) {
+      mid = start + count / 2;  // degenerate: median split
+    } else {
+      int axis = best_axis;
+      float ext = cb.hi[axis] - cb.lo[axis];
+      float k1 = kBins * (1.0f - 1e-6f) / ext;
+      float lo = cb.lo[axis];
+      auto bin_of = [&](int32_t tri) {
+        const Vec3& c = cent[tri];
+        float v = axis == 0 ? c.x : (axis == 1 ? c.y : c.z);
+        int b = (int)((v - lo) * k1);
+        return std::min(std::max(b, 0), kBins - 1);
+      };
+      auto* base = order.data();
+      auto* split = std::partition(
+          base + start, base + start + count,
+          [&](int32_t t) { return bin_of(t) <= best_b; });
+      mid = (int32_t)(split - base);
+      if (mid == start || mid == start + count)
+        mid = start + count / 2;  // partition failed; median
     }
     int32_t l = build_binary(start, mid - start);
     int32_t r = build_binary(mid, start + count - mid);
