@@ -12,8 +12,22 @@
 //      cheapest (axis, bin) split taken — round-3: the largest-extent-
 //      only sweep left ~5-10% SAH on the table on architectural
 //      scenes; forced split while count > leaf capacity),
-//   2. collapse to 8-wide by repeatedly expanding the child with the
-//      largest surface area (classic BVH8 collapse),
+//   2. collapse to 8-wide by a dynamic program that minimizes the
+//      total surface area of wide-node roots (round 3). On the TPU
+//      packet kernel a wide-node visit costs ~1 unit no matter how
+//      many of its 8 slots are full, and binary leaves are immutable
+//      (leaf-drain count is partition-independent), so expected node
+//      visits ~ sum over wide nodes W of P(ray hits W's box) ~
+//      sum A(W). The DP (the cost shape of Ylitie et al. 2017's
+//      BVH8 collapse, with the member-wide cost constant dropped)
+//      partitions the binary tree into fragments with <= 8 exits:
+//        g(n, i) = min cost of covering subtree(n) with <= i exits
+//                  (n strictly inside the current fragment)
+//        g(leaf, i) = 0;  g(n, 1) = f(n)
+//        g(n, i) = min(f(n), min_{i1+i2=i} g(l,i1) + g(r,i2))
+//        f(n) = A(n) + min_{i1+i2=8} g(l,i1) + g(r,i2)
+//      (round 2 expanded the largest-area child greedily; the DP is
+//      measured vs it by tools/kernel_ab.py),
 //   3. emit component-major children rows [NI, 48] + child ids
 //      [NI, 8] + leaf order [L*K] (original triangle ids, -1 pad).
 //
@@ -175,30 +189,78 @@ struct Builder {
     return me;
   }
 
-  // collapse: gather up to 8 binary children under `b` by repeatedly
-  // expanding the internal child with the largest surface area
+  // --- DP collapse (see file header): minimize sum of wide-node-root
+  // areas over all partitions of the binary tree into fragments with
+  // <= 8 exits. Exits become the wide node's children (leaf exits =
+  // leaf slots; internal exits = new wide-node roots).
+  std::vector<float> gtab;      // [m, 8]: g(n, i) at [n*8 + i-1]
+  std::vector<float> fcost;     // [m]: f(n)
+  std::vector<uint8_t> fsplit;  // [m]: f(n)'s left-budget choice
+  std::vector<uint8_t> gsplit;  // [m, 8]: 0 = SELF (n is an exit),
+                                //         else left-budget i1
+
+  void dp_collapse_tables() {
+    size_t m = bnodes.size();
+    gtab.assign(m * 8, 0.0f);
+    fcost.assign(m, 0.0f);
+    fsplit.assign(m, 1);
+    gsplit.assign(m * 8, 0);
+    // build_binary pushes a node before recursing into its children,
+    // so descending index order visits children before parents
+    for (size_t n = m; n-- > 0;) {
+      const BNode& nd = bnodes[n];
+      if (nd.count > 0) continue;  // binary leaf: g = 0 everywhere
+      const float* gl = &gtab[(size_t)nd.left * 8];
+      const float* gr = &gtab[(size_t)nd.right * 8];
+      float best = kInf;
+      int bi = 1;
+      for (int i1 = 1; i1 <= 7; i1++) {
+        float c = gl[i1 - 1] + gr[8 - i1 - 1];
+        if (c < best) { best = c; bi = i1; }
+      }
+      fcost[n] = nd.box.area() + best;
+      fsplit[n] = (uint8_t)bi;
+      float* gn = &gtab[n * 8];
+      uint8_t* gs = &gsplit[n * 8];
+      gn[0] = fcost[n];
+      gs[0] = 0;  // at budget 1, n must itself be the exit
+      for (int i = 2; i <= 8; i++) {
+        best = fcost[n];
+        int choice = 0;  // SELF
+        for (int i1 = 1; i1 <= i - 1; i1++) {
+          float c = gl[i1 - 1] + gr[i - i1 - 1];
+          if (c < best) { best = c; choice = i1; }
+        }
+        gn[i - 1] = best;
+        gs[i - 1] = (uint8_t)choice;
+      }
+    }
+  }
+
+  void exits_of(int32_t n, int budget, std::vector<int32_t>& out) {
+    if (bnodes[n].count > 0) {  // binary leaf: always an exit
+      out.push_back(n);
+      return;
+    }
+    uint8_t c = gsplit[(size_t)n * 8 + budget - 1];
+    if (c == 0) {  // SELF: n becomes a wide-node root
+      out.push_back(n);
+      return;
+    }
+    exits_of(bnodes[n].left, c, out);
+    exits_of(bnodes[n].right, budget - c, out);
+  }
+
+  // children of the wide node rooted at binary node `b`
   void gather8(int32_t b, std::vector<int32_t>& out) {
     out.clear();
     if (bnodes[b].count > 0) {  // root itself a leaf
       out.push_back(b);
       return;
     }
-    out.push_back(bnodes[b].left);
-    out.push_back(bnodes[b].right);
-    while ((int)out.size() < 8) {
-      int pick = -1;
-      float best = -1;
-      for (int i = 0; i < (int)out.size(); i++) {
-        const BNode& nd = bnodes[out[i]];
-        if (nd.count > 0) continue;  // leaf: not expandable
-        float a = nd.box.area();
-        if (a > best) { best = a; pick = i; }
-      }
-      if (pick < 0) break;
-      int32_t t = out[pick];
-      out[pick] = bnodes[t].left;
-      out.push_back(bnodes[t].right);
-    }
+    int i1 = fsplit[b];
+    exits_of(bnodes[b].left, i1, out);
+    exits_of(bnodes[b].right, 8 - i1, out);
   }
 
   void collapse() {
@@ -271,6 +333,7 @@ struct Builder {
     }
     bnodes.reserve((size_t)(2.2 * (double)std::max<int64_t>(n / k, 1)) + 8);
     build_binary(0, (int32_t)n);
+    dp_collapse_tables();
     collapse();
   }
 };
