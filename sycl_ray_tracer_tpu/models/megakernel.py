@@ -228,6 +228,12 @@ def render_megakernel(scene, cam: Camera, *, width: int, height: int,
     # deep-depth configs split into more, shorter waves.
     lane_bounces = int(os.environ.get("SRT_MK_LANE_BOUNCES",
                                       str(64 << 20)))
+    # Treelet scenes chain tl_count kernel passes per bounce inside
+    # the same program, so a lane-bounce there costs ~tl_count times a
+    # single-tree one. The round-3 512^2 sweep hung the remote worker
+    # on exactly this: minecraft_proc (4 treelets) at d30 hit the
+    # watchdog at the 64M cap calibrated on single-tree scenes.
+    lane_bounces //= max(1, getattr(scene, "tl_count", 0) or 1)
     waves = max(1, min(spp, wave_rays // n,
                        lane_bounces // max(n * max_depth, 1)))
     accum = None
