@@ -11,7 +11,16 @@
 //   1. top-down binary binned SAH (16 bins, all 3 axes swept and the
 //      cheapest (axis, bin) split taken — round-3: the largest-extent-
 //      only sweep left ~5-10% SAH on the table on architectural
-//      scenes; forced split while count > leaf capacity),
+//      scenes; forced split while count > leaf capacity). Round 3
+//      adds OPTIONAL spatial splits (the SBVH shape of Stich et al.
+//      2009): when the best object split's children overlap by more
+//      than alpha x root area, chopped binning evaluates axis-plane
+//      splits that DUPLICATE straddling references, clipping the
+//      triangle polygon to each side. Large architectural triangles
+//      (sponza floors/walls) stop inflating child boxes, shrinking
+//      the packet visit union the TPU kernel pays. Reference count
+//      is budgeted (max_ref_factor x n); when the budget runs out
+//      the build degrades gracefully to pure object splits,
 //   2. collapse to 8-wide by a dynamic program that minimizes the
 //      total surface area of wide-node roots (round 3). On the TPU
 //      packet kernel a wide-node visit costs ~1 unit no matter how
@@ -79,17 +88,80 @@ struct BNode {            // binary SAH node
   Box box;
   int32_t left = -1;      // internal: children indices
   int32_t right = -1;
-  int32_t start = 0;      // leaf: [start, start+count) in tri order
+  int32_t start = 0;      // leaf: [start, start+count) in leaf_tris
   int32_t count = 0;      // 0 = internal
 };
+
+// A build reference: one (possibly clipped) occurrence of a triangle.
+// Object splits move refs; spatial splits duplicate them with the
+// triangle polygon clipped to each side of the plane.
+struct Ref {
+  int32_t tri = -1;
+  Box box;
+};
+
+// Box of the triangle polygon clipped to lo <= p[axis] <= hi
+// (Sutherland-Hodgman against the two axis planes). Returns an
+// empty (default) box when the polygon misses the slab.
+Box clip_tri_slab(const float* v /* [3][3] */, int axis, float lo,
+                  float hi) {
+  float poly[16][3];
+  int np = 3;
+  for (int i = 0; i < 3; i++)
+    for (int c = 0; c < 3; c++) poly[i][c] = v[i * 3 + c];
+  float tmp[16][3];
+  // two half-space passes: keep p[axis] >= lo, then p[axis] <= hi
+  for (int pass = 0; pass < 2; pass++) {
+    float plane = pass == 0 ? lo : hi;
+    float sgn = pass == 0 ? 1.0f : -1.0f;
+    int nt = 0;
+    for (int i = 0; i < np; i++) {
+      const float* a = poly[i];
+      const float* b = poly[(i + 1) % np];
+      float da = sgn * (a[axis] - plane);
+      float db = sgn * (b[axis] - plane);
+      if (da >= 0) {
+        for (int c = 0; c < 3; c++) tmp[nt][c] = a[c];
+        nt++;
+      }
+      if ((da >= 0) != (db >= 0)) {
+        float t = da / (da - db);
+        for (int c = 0; c < 3; c++)
+          tmp[nt][c] = a[c] + t * (b[c] - a[c]);
+        nt++;
+      }
+      if (nt >= 14) break;  // paranoia; a slab clip of a tri is <= 5
+    }
+    np = nt;
+    for (int i = 0; i < np; i++)
+      for (int c = 0; c < 3; c++) poly[i][c] = tmp[i][c];
+    if (np == 0) break;
+  }
+  Box out;
+  for (int i = 0; i < np; i++) out.grow(poly[i]);
+  return out;
+}
+
+bool box_valid(const Box& b) { return b.lo[0] <= b.hi[0]; }
+
+Box box_intersect(const Box& a, const Box& b) {
+  Box out;
+  for (int c = 0; c < 3; c++) {
+    out.lo[c] = std::max(a.lo[c], b.lo[c]);
+    out.hi[c] = std::min(a.hi[c], b.hi[c]);
+    if (out.lo[c] > out.hi[c]) return Box();  // empty
+  }
+  return out;
+}
 
 struct Builder {
   const float* tv = nullptr;  // [n, 3, 3]
   int64_t n = 0;
   int32_t k = 8;              // leaf capacity
-  std::vector<int32_t> order;     // current triangle permutation
-  std::vector<Box> tbox;          // per-tri boxes (original ids)
-  std::vector<Vec3> cent;         // per-tri centroids (original ids)
+  float spatial_alpha = 0.0f;  // 0 = object splits only
+  int64_t ref_budget = 0;      // extra refs spatial splits may mint
+  float root_area = 1.0f;
+  std::vector<int32_t> leaf_tris;  // leaf emission arena
   std::vector<BNode> bnodes;
 
   // --- outputs (8-wide) ---
@@ -98,26 +170,35 @@ struct Builder {
   std::vector<int32_t> leaf_order;  // [L, k] original tri ids, -1 pad
   int32_t depth = 0;
 
-  int32_t build_binary(int32_t start, int32_t count) {
+  static float ref_cent(const Ref& r, int axis) {
+    return 0.5f * (r.box.lo[axis] + r.box.hi[axis]);
+  }
+
+  int32_t emit_leaf(const std::vector<Ref>& refs, const Box& box) {
     BNode node;
-    for (int32_t i = start; i < start + count; i++)
-      node.box.grow(tbox[order[i]]);
+    node.box = box;
+    node.start = (int32_t)leaf_tris.size();
+    node.count = (int32_t)refs.size();
+    for (const Ref& r : refs) leaf_tris.push_back(r.tri);
     int32_t me = (int32_t)bnodes.size();
     bnodes.push_back(node);
-    if (count <= k) {
-      bnodes[me].start = start;
-      bnodes[me].count = count;
-      return me;
-    }
+    return me;
+  }
 
-    // centroid bounds + split axis
+  int32_t build_binary(std::vector<Ref> refs) {
+    Box box;
+    for (const Ref& r : refs) box.grow(r.box);
+    if ((int32_t)refs.size() <= k) return emit_leaf(refs, box);
+    int32_t me = (int32_t)bnodes.size();
+    bnodes.push_back(BNode{box, -1, -1, 0, 0});
+
+    // centroid bounds
     Box cb;
-    for (int32_t i = start; i < start + count; i++) {
-      const Vec3& c = cent[order[i]];
-      float p[3] = {c.x, c.y, c.z};
+    for (const Ref& r : refs) {
+      float p[3] = {ref_cent(r, 0), ref_cent(r, 1), ref_cent(r, 2)};
       cb.grow(p);
     }
-    // binned SAH sweep over ALL 3 axes; cheapest (axis, bin) wins
+    // --- object split: binned SAH over ALL 3 axes, cheapest wins ---
     float best = kInf;
     int best_axis = -1, best_b = -1;
     for (int axis = 0; axis < 3; axis++) {
@@ -127,15 +208,10 @@ struct Builder {
       int32_t bin_cnt[kBins] = {0};
       float k1 = kBins * (1.0f - 1e-6f) / ext;
       float lo = cb.lo[axis];
-      auto bin_of = [&](int32_t tri) {
-        const Vec3& c = cent[tri];
-        float v = axis == 0 ? c.x : (axis == 1 ? c.y : c.z);
-        int b = (int)((v - lo) * k1);
-        return std::min(std::max(b, 0), kBins - 1);
-      };
-      for (int32_t i = start; i < start + count; i++) {
-        int b = bin_of(order[i]);
-        bin_box[b].grow(tbox[order[i]]);
+      for (const Ref& r : refs) {
+        int b = (int)((ref_cent(r, axis) - lo) * k1);
+        b = std::min(std::max(b, 0), kBins - 1);
+        bin_box[b].grow(r.box);
         bin_cnt[b]++;
       }
       // sweep: left-to-right and right-to-left prefix areas
@@ -160,30 +236,152 @@ struct Builder {
       }
     }
 
-    int32_t mid;
-    if (best_b < 0) {
-      mid = start + count / 2;  // degenerate: median split
-    } else {
+    // Geometry boxes of the chosen object split (for the SBVH
+    // overlap test): one more pass over the best axis's bins.
+    Box obj_lbox, obj_rbox;
+    if (best_b >= 0) {
       int axis = best_axis;
       float ext = cb.hi[axis] - cb.lo[axis];
       float k1 = kBins * (1.0f - 1e-6f) / ext;
       float lo = cb.lo[axis];
-      auto bin_of = [&](int32_t tri) {
-        const Vec3& c = cent[tri];
-        float v = axis == 0 ? c.x : (axis == 1 ? c.y : c.z);
-        int b = (int)((v - lo) * k1);
-        return std::min(std::max(b, 0), kBins - 1);
-      };
-      auto* base = order.data();
-      auto* split = std::partition(
-          base + start, base + start + count,
-          [&](int32_t t) { return bin_of(t) <= best_b; });
-      mid = (int32_t)(split - base);
-      if (mid == start || mid == start + count)
-        mid = start + count / 2;  // partition failed; median
+      for (const Ref& r : refs) {
+        int b = (int)((ref_cent(r, axis) - lo) * k1);
+        b = std::min(std::max(b, 0), kBins - 1);
+        (b <= best_b ? obj_lbox : obj_rbox).grow(r.box);
+      }
     }
-    int32_t l = build_binary(start, mid - start);
-    int32_t r = build_binary(mid, start + count - mid);
+
+    // --- spatial split (SBVH): evaluated only when the object
+    // split's children overlap by more than alpha x root area ---
+    float sp_best = kInf;
+    int sp_axis = -1;
+    float sp_pos = 0.0f;
+    if (spatial_alpha > 0.0f && best_b >= 0 && ref_budget > 0) {
+      Box ov = box_intersect(obj_lbox, obj_rbox);
+      if (box_valid(ov) && ov.area() > spatial_alpha * root_area) {
+        for (int axis = 0; axis < 3; axis++) {
+          float lo = box.lo[axis], hi = box.hi[axis];
+          float ext = hi - lo;
+          if (ext <= 1e-20f) continue;
+          float inv = kBins * (1.0f - 1e-6f) / ext;
+          Box bin_box[kBins];
+          int32_t entry[kBins] = {0}, exit_[kBins] = {0};
+          for (const Ref& r : refs) {
+            int b0 = (int)((r.box.lo[axis] - lo) * inv);
+            int b1 = (int)((r.box.hi[axis] - lo) * inv);
+            b0 = std::min(std::max(b0, 0), kBins - 1);
+            b1 = std::min(std::max(b1, b0), kBins - 1);
+            entry[b0]++;
+            exit_[b1]++;
+            if (b0 == b1) {
+              bin_box[b0].grow(r.box);
+            } else {
+              const float* v = tv + (int64_t)r.tri * 9;
+              for (int b = b0; b <= b1; b++) {
+                float slo = lo + ext * b / kBins;
+                float shi = lo + ext * (b + 1) / kBins;
+                Box cbx = clip_tri_slab(v, axis, slo, shi);
+                if (!box_valid(cbx)) continue;
+                cbx = box_intersect(cbx, r.box);
+                if (box_valid(cbx)) bin_box[b].grow(cbx);
+              }
+            }
+          }
+          float rarea[kBins];
+          int32_t rcnt[kBins];
+          Box acc;
+          int32_t cnt = 0;
+          for (int b = kBins - 1; b > 0; b--) {
+            acc.grow(bin_box[b]);
+            cnt += exit_[b];
+            rarea[b] = acc.area();
+            rcnt[b] = cnt;
+          }
+          acc = Box();
+          cnt = 0;
+          for (int b = 0; b < kBins - 1; b++) {
+            acc.grow(bin_box[b]);
+            cnt += entry[b];
+            if (cnt == 0 || rcnt[b + 1] == 0) continue;
+            float cost = acc.area() * cnt + rarea[b + 1] * rcnt[b + 1];
+            if (cost < sp_best) {
+              sp_best = cost;
+              sp_axis = axis;
+              sp_pos = lo + ext * (b + 1) / kBins;
+            }
+          }
+        }
+      }
+    }
+
+    std::vector<Ref> lrefs, rrefs;
+    if (sp_axis >= 0 && sp_best < best) {
+      // spatial partition: duplicate straddlers (budget permitting)
+      int axis = sp_axis;
+      float pos = sp_pos;
+      for (const Ref& r : refs) {
+        if (r.box.hi[axis] <= pos) {
+          lrefs.push_back(r);
+        } else if (r.box.lo[axis] >= pos) {
+          rrefs.push_back(r);
+        } else if (ref_budget > 0) {
+          const float* v = tv + (int64_t)r.tri * 9;
+          Box lb = box_intersect(clip_tri_slab(v, axis, -kInf, pos),
+                                 r.box);
+          Box rb = box_intersect(clip_tri_slab(v, axis, pos, kInf),
+                                 r.box);
+          if (!box_valid(lb)) {
+            rrefs.push_back(r);
+          } else if (!box_valid(rb)) {
+            lrefs.push_back(r);
+          } else {
+            lrefs.push_back({r.tri, lb});
+            rrefs.push_back({r.tri, rb});
+            ref_budget--;
+          }
+        } else {
+          (ref_cent(r, axis) <= pos ? lrefs : rrefs).push_back(r);
+        }
+      }
+      if (lrefs.empty() || rrefs.empty()) {
+        lrefs.clear();
+        rrefs.clear();
+        sp_axis = -1;  // degenerate; fall through to object split
+      }
+    }
+    if (sp_axis < 0 || (lrefs.empty() && rrefs.empty())) {
+      if (best_b < 0) {
+        // degenerate centroids: median split
+        std::nth_element(
+            refs.begin(), refs.begin() + refs.size() / 2, refs.end(),
+            [](const Ref& a, const Ref& b) {
+              return ref_cent(a, 0) < ref_cent(b, 0);
+            });
+        lrefs.assign(refs.begin(), refs.begin() + refs.size() / 2);
+        rrefs.assign(refs.begin() + refs.size() / 2, refs.end());
+      } else {
+        int axis = best_axis;
+        float ext = cb.hi[axis] - cb.lo[axis];
+        float k1 = kBins * (1.0f - 1e-6f) / ext;
+        float lo = cb.lo[axis];
+        for (const Ref& r : refs) {
+          int b = (int)((ref_cent(r, axis) - lo) * k1);
+          b = std::min(std::max(b, 0), kBins - 1);
+          (b <= best_b ? lrefs : rrefs).push_back(r);
+        }
+        if (lrefs.empty() || rrefs.empty()) {
+          lrefs.clear();
+          rrefs.clear();
+          size_t mid = refs.size() / 2;
+          lrefs.assign(refs.begin(), refs.begin() + mid);
+          rrefs.assign(refs.begin() + mid, refs.end());
+        }
+      }
+    }
+    refs.clear();
+    refs.shrink_to_fit();
+    int32_t l = build_binary(std::move(lrefs));
+    int32_t r = build_binary(std::move(rrefs));
     bnodes[me].left = l;
     bnodes[me].right = r;
     return me;
@@ -293,7 +491,7 @@ struct Builder {
           int32_t leaf_row = (int32_t)(leaf_order.size() / k);
           leaf_order.resize(leaf_order.size() + k, -1);
           for (int32_t i = 0; i < nd.count; i++)
-            leaf_order[leaf_row * k + i] = order[nd.start + i];
+            leaf_order[leaf_row * k + i] = leaf_tris[nd.start + i];
           child_ids[id_base + j] = -(leaf_row + 1);
         } else {
           child_ids[id_base + j] = next_row;
@@ -310,19 +508,6 @@ struct Builder {
   }
 
   void run() {
-    order.resize(n);
-    tbox.resize(n);
-    cent.resize(n);
-    for (int64_t i = 0; i < n; i++) {
-      order[i] = (int32_t)i;
-      Box b;
-      b.grow(tv + i * 9 + 0);
-      b.grow(tv + i * 9 + 3);
-      b.grow(tv + i * 9 + 6);
-      tbox[i] = b;
-      cent[i] = {(b.lo[0] + b.hi[0]) * 0.5f, (b.lo[1] + b.hi[1]) * 0.5f,
-                 (b.lo[2] + b.hi[2]) * 0.5f};
-    }
     if (n == 0) {
       children.assign(48, kInf);   // no child box is ever hit
       child_ids.assign(8, 0);
@@ -331,8 +516,20 @@ struct Builder {
       depth = 1;
       return;
     }
+    std::vector<Ref> refs(n);
+    Box root;
+    for (int64_t i = 0; i < n; i++) {
+      Box b;
+      b.grow(tv + i * 9 + 0);
+      b.grow(tv + i * 9 + 3);
+      b.grow(tv + i * 9 + 6);
+      refs[i] = {(int32_t)i, b};
+      root.grow(b);
+    }
+    root_area = std::max(root.area(), 1e-20f);
+    leaf_tris.reserve(n + ref_budget);
     bnodes.reserve((size_t)(2.2 * (double)std::max<int64_t>(n / k, 1)) + 8);
-    build_binary(0, (int32_t)n);
+    build_binary(std::move(refs));
     dp_collapse_tables();
     collapse();
   }
@@ -349,6 +546,27 @@ void* srt_bvh_build(const float* tri_v, int64_t n, int32_t leaf_size) {
   b->k = leaf_size;
   b->run();
   return b;
+}
+
+// SBVH variant: spatial_alpha is the Stich et al. overlap threshold
+// (fraction of root surface area; 1e-5 typical; 0 disables), and
+// max_ref_factor bounds total references at factor x n.
+void* srt_bvh_build2(const float* tri_v, int64_t n, int32_t leaf_size,
+                     float spatial_alpha, float max_ref_factor) {
+  auto* b = new Builder();
+  b->tv = tri_v;
+  b->n = n;
+  b->k = leaf_size;
+  b->spatial_alpha = spatial_alpha;
+  if (spatial_alpha > 0.0f && max_ref_factor > 1.0f)
+    b->ref_budget = (int64_t)((max_ref_factor - 1.0f) * (double)n);
+  b->run();
+  return b;
+}
+
+// total leaf references (> n when spatial splits duplicated)
+int64_t srt_bvh_nrefs(void* h) {
+  return (int64_t)((Builder*)h)->leaf_tris.size();
 }
 
 int64_t srt_bvh_ni(void* h) {

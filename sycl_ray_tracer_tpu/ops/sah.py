@@ -17,6 +17,7 @@ order (models/trace.py applies it).
 from __future__ import annotations
 
 import ctypes
+import os
 from typing import NamedTuple, Optional
 
 import numpy as np
@@ -25,15 +26,36 @@ from sycl_ray_tracer_tpu.utils import native_loader
 
 _INF = np.float32(3.0e38)
 
+# Spatial splits (SBVH, Stich et al. 2009 shape — see
+# native/srt_bvh.cpp): duplicate references for triangles straddling
+# an overlap-heavy split plane, clipping the polygon to each side.
+# The parity analog of Embree's RTC_BUILD_QUALITY_HIGH build the
+# reference could request (scene.cpp:101-107 uses the default medium
+# quality, which — like our default — does object splits only).
+# Default OFF from measurement, not omission: on both benchmark
+# scenes spatial splits RAISE the packet-union cost the TPU kernel
+# pays (tools/tree_quality.py: sponza_proc bounce union +6.9%,
+# wide-node child area +6.6-7.1% across alpha 1e-5..1e-2) — packet
+# unions, unlike the per-ray GPU walks SBVH was designed for, pay
+# for the duplicated leaves more than they win from tighter boxes.
+_SBVH_ALPHA = float(os.environ.get("SRT_SBVH_ALPHA", "1e-5"))
+_SBVH_FACTOR = float(os.environ.get("SRT_SBVH_FACTOR", "1.4"))
+
+
+def _sbvh_default() -> bool:
+    return os.environ.get("SRT_SBVH", "0") == "1"
+
 
 class SahBvh(NamedTuple):
     children: np.ndarray   # [NI, 48] component-major child boxes
     child_ids: np.ndarray  # [NI, 8] int32 (leaf child = NI + leaf_row)
-    order: np.ndarray      # [L*K] int32 original tri ids (-1 pad)
+    order: np.ndarray      # [L*K] int32 original tri ids (-1 pad);
+                           # ids may REPEAT when spatial splits fired
     num_internal: int
     num_leaves: int
     depth: int
     leaf_size: int
+    num_refs: int = 0      # leaf references (> num tris after splits)
 
 
 def _bind(lib):
@@ -54,6 +76,16 @@ def _bind(lib):
         lib.srt_bvh_free.argtypes = [ctypes.c_void_p]
     except AttributeError:
         return False  # stale library without the bvh entry points
+    try:
+        lib.srt_bvh_build2.restype = ctypes.c_void_p
+        lib.srt_bvh_build2.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_float, ctypes.c_float]
+        lib.srt_bvh_nrefs.restype = ctypes.c_int64
+        lib.srt_bvh_nrefs.argtypes = [ctypes.c_void_p]
+        lib._srt_bvh_spatial = True
+    except AttributeError:
+        lib._srt_bvh_spatial = False  # pre-SBVH library: object only
     lib._srt_bvh_bound = True
     return True
 
@@ -63,22 +95,33 @@ def available() -> bool:
     return lib is not None and _bind(lib)
 
 
-def build_sah(tri_v: np.ndarray, leaf_size: int = 8
-              ) -> Optional[SahBvh]:
+def build_sah(tri_v: np.ndarray, leaf_size: int = 8,
+              spatial: Optional[bool] = None) -> Optional[SahBvh]:
     """Build the SAH BVH8 on host. Returns None when the native
-    library is unavailable (callers fall back to the Morton heap)."""
+    library is unavailable (callers fall back to the Morton heap).
+    `spatial` enables SBVH spatial splits (default: SRT_SBVH env,
+    on); silently degrades to object-only with a stale library."""
     lib = native_loader._load_library()
     if lib is None or not _bind(lib):
         return None
+    if spatial is None:
+        spatial = _sbvh_default()
     tri_v = np.ascontiguousarray(tri_v, np.float32)
     n = tri_v.shape[0]
-    h = lib.srt_bvh_build(
-        tri_v.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n,
-        leaf_size)
+    if spatial and getattr(lib, "_srt_bvh_spatial", False):
+        h = lib.srt_bvh_build2(
+            tri_v.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n,
+            leaf_size, _SBVH_ALPHA, _SBVH_FACTOR)
+    else:
+        h = lib.srt_bvh_build(
+            tri_v.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n,
+            leaf_size)
     try:
         ni = lib.srt_bvh_ni(h)
         nl = lib.srt_bvh_nleaves(h)
         depth = lib.srt_bvh_depth(h)
+        nrefs = (lib.srt_bvh_nrefs(h)
+                 if getattr(lib, "_srt_bvh_spatial", False) else n)
         children = np.empty((ni, 48), np.float32)
         ids = np.empty((ni, 8), np.int32)
         order = np.empty((nl * leaf_size,), np.int32)
@@ -90,7 +133,8 @@ def build_sah(tri_v: np.ndarray, leaf_size: int = 8
         lib.srt_bvh_free(h)
     return SahBvh(children=children, child_ids=ids, order=order,
                   num_internal=int(ni), num_leaves=int(nl),
-                  depth=int(depth), leaf_size=leaf_size)
+                  depth=int(depth), leaf_size=leaf_size,
+                  num_refs=int(nrefs))
 
 
 def leaf_rows(tri_v: np.ndarray, order: np.ndarray, leaf_size: int
@@ -112,12 +156,20 @@ def leaf_rows(tri_v: np.ndarray, order: np.ndarray, leaf_size: int
 
 def validate(bvh: SahBvh, tri_v: np.ndarray) -> None:
     """Structural invariants (mirrors lbvh.validate's role):
-    every triangle reachable exactly once; children contained in
-    parents; ids in range."""
+    every triangle reachable; children contained in parents; ids in
+    range. Spatial splits legitimately DUPLICATE references (each
+    covering part of the triangle), so with duplicates present the
+    full-triangle-in-leaf-box check is skipped — coverage of every
+    part of a split triangle is instead guaranteed by construction
+    (the clipped polygon boxes partition the triangle) and checked
+    end-to-end by the traversal-vs-brute-force parity tests."""
     ni, k = bvh.num_internal, bvh.leaf_size
     seen = bvh.order[bvh.order >= 0]
-    assert len(seen) == tri_v.shape[0]
-    assert len(np.unique(seen)) == tri_v.shape[0], "tri lost/duplicated"
+    assert len(seen) >= tri_v.shape[0]
+    assert len(np.unique(seen)) == tri_v.shape[0], "tri lost"
+    split = len(seen) > tri_v.shape[0]
+    if not split:
+        assert len(seen) == tri_v.shape[0]
 
     # child boxes contain their triangles / sub-boxes
     boxes = bvh.children.reshape(ni, 6, 8)
@@ -129,6 +181,8 @@ def validate(bvh: SahBvh, tri_v: np.ndarray) -> None:
             if lo[0] >= _INF:  # empty slot
                 continue
             if cid >= ni:  # leaf
+                if split:
+                    continue  # clipped refs: boxes bound fragments
                 leaf = cid - ni
                 sl = bvh.order[leaf * k:(leaf + 1) * k]
                 tv = tri_v[sl[sl >= 0]].reshape(-1, 3)

@@ -33,7 +33,20 @@ def _load_library():
     _lib_tried = True
     if os.environ.get("SRT_NATIVE", "1") == "0":
         return None
-    if not os.path.exists(_LIB_PATH):
+    def _stale():
+        if not os.path.exists(_LIB_PATH):
+            return True
+        lib_mtime = os.path.getmtime(_LIB_PATH)
+        src_dir = os.path.join(_REPO_ROOT, "native")
+        try:
+            return any(
+                f.endswith(".cpp")
+                and os.path.getmtime(os.path.join(src_dir, f)) > lib_mtime
+                for f in os.listdir(src_dir))
+        except OSError:
+            return False
+
+    if _stale():
         makefile = os.path.join(_REPO_ROOT, "native", "Makefile")
         if not os.path.exists(makefile):
             return None
@@ -41,7 +54,9 @@ def _load_library():
             subprocess.run(["make", "-C", os.path.dirname(makefile)],
                            check=True, capture_output=True, timeout=120)
         except Exception:
-            return None
+            if not os.path.exists(_LIB_PATH):
+                return None  # no library at all; rebuild failures
+                # with a stale lib fall through and load it
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:

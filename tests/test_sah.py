@@ -88,3 +88,50 @@ def test_scene_remap_is_consistent(rs):
     # a permutation of the real triangle slots
     assert len(np.unique(valid)) == host.num_triangles
     assert valid.max() < scene.tri_n.shape[0]
+
+
+def test_sbvh_spatial_splits_parity(rs):
+    """SBVH (spatial=True) duplicates clipped references; traversal
+    through the split tree must still match brute force exactly.
+    Scene mixes small tris with large straddling ones so splits fire."""
+    small = _random_tris(rs, 1200)
+    big = (rs.uniform(-5, 5, (80, 3, 3)) * 2.0).astype(np.float32)
+    tri = np.concatenate([small, big]).astype(np.float32)
+    k = 8
+    b = sah.build_sah(tri, k, spatial=True)
+    sah.validate(b, tri)
+    assert b.num_refs > tri.shape[0], "no spatial split fired"
+    # duplicated ids present but every triangle still reachable
+    seen = b.order[b.order >= 0]
+    assert len(np.unique(seen)) == tri.shape[0]
+
+    ct, lt = wbvh.pack_tiles_np(b.children, b.child_ids,
+                                sah.leaf_rows(tri, b.order, k), k)
+    import sycl_ray_tracer_tpu.ops.traverse_pallas2 as TP2
+    from jax.experimental import pallas as pl
+
+    r = 1000
+    o_np = rs.uniform(-8, 8, (r, 3)).astype(np.float32)
+    d_np = rs.uniform(-1, 1, (r, 3)).astype(np.float32)
+    o = V3(*(jnp.asarray(o_np[:, i]) for i in range(3)))
+    d = V3(*(jnp.asarray(d_np[:, i]) for i in range(3)))
+
+    orig = pl.pallas_call
+    TP2.pl.pallas_call = lambda *a, **kw: orig(
+        *a, **{**kw, "interpret": True})
+    try:
+        hit = TP2.traverse_packets2(jnp.asarray(ct), jnp.asarray(lt),
+                                    b.num_internal, k, o, d, rows=2)
+    finally:
+        TP2.pl.pallas_call = orig
+
+    t_b, id_b, _, _ = intersect_brute_np(o_np, d_np, tri)
+    slot = np.asarray(hit.tri)
+    got = np.where(slot >= 0, b.order[np.maximum(slot, 0)], -1)
+    assert ((got >= 0) == (id_b >= 0)).all()
+    both = got >= 0
+    assert (got[both] == id_b[both]).all()
+    # t compared loosely: the big straddling tris amplify f32
+    # Moller-Trumbore rounding (hit ids above are compared exactly)
+    assert np.allclose(np.asarray(hit.t)[both], t_b[both],
+                       rtol=2e-4, atol=1e-5)
