@@ -93,6 +93,17 @@ def main():
                     help="timed runs per config (plus 1 discarded warm-up)")
     ap.add_argument("--width", type=int, default=1024)
     ap.add_argument("--height", type=int, default=1024)
+    ap.add_argument("--resolutions", nargs="*", default=None,
+                    help="WxH list overriding --width/--height; all "
+                         "resolutions run in ONE process so the "
+                         "resolution-independent wavefront bucket "
+                         "programs compile once (the matrix shapes "
+                         "are bucket sizes, not image sizes)")
+    ap.add_argument("--pairs", nargs="*", default=None,
+                    help="explicit depth:samples pairs (e.g. 30:128 "
+                         "10:512), overriding --depths/--samples and "
+                         "--full — for filling in individual matrix "
+                         "rows without redoing the cross product")
     ap.add_argument("--full", action="store_true",
                     help="reference matrix: the exact 9 (depth, spp) "
                          "pairs of /root/reference/benchmark.py "
@@ -126,13 +137,18 @@ def main():
             "jax_compilation_cache_dir",
             _os.path.expanduser("~/.cache/jax_comp"))
 
-    if args.full:
+    if args.pairs:
+        pairs = [tuple(int(x) for x in p.split(":")) for p in args.pairs]
+    elif args.full:
         # verbatim reference depth_samples list, including its
         # duplicated (10, 128) row (benchmark.py:6-19)
         pairs = [(10, 128), (20, 128), (30, 128), (40, 128), (50, 128),
                  (10, 32), (10, 128), (10, 256), (10, 512)]
     else:
         pairs = [(d, s) for d in args.depths for s in args.samples]
+    resolutions = [tuple(int(x) for x in r.split("x"))
+                   for r in args.resolutions] if args.resolutions \
+        else [(args.width, args.height)]
 
     raw_rows = []
     avg_rows = []
@@ -145,50 +161,49 @@ def main():
         if renderer not in args.renderers:
             continue
         for scene in args.scenes:
-            for d, s in pairs:
-                per_run = []
-                try:
-                    for r in range(args.runs + 1):
-                        if args.inproc:
-                            t, total, mrays = run_once_inproc(
-                                ctx, scene, renderer, d, s,
-                                args.width, args.height, seed=r)
-                        else:
-                            t, total, mrays = run_once(
-                                scene, flag, d, s, args.width,
-                                args.height, timeout=args.timeout,
-                                seed=r)
-                        print(f"{scene} {renderer} d={d} s={s} "
-                              f"run={r}: {mrays:.2f} Mrays/s"
-                              + (" (warm-up, discarded)"
-                                 if r == 0 else ""), flush=True)
-                        row = [renderer, scene,
-                               f"{args.width}x{args.height}",
-                               d, s, r, t, mrays, total]
-                        raw_rows.append(row)
-                        if r > 0:
-                            per_run.append((t, mrays, total))
-                except (RuntimeError,
-                        subprocess.TimeoutExpired) as e:
-                    # keep sweeping; a failed config gets a nan row
-                    print(f"{scene} {renderer} d={d} s={s} FAILED: "
-                          f"{str(e)[:200]}", flush=True)
-                if per_run:
-                    avg_rows.append([
-                        renderer, scene,
-                        f"{args.width}x{args.height}", d, s,
-                        statistics.mean(x[0] for x in per_run),
-                        statistics.mean(x[1] for x in per_run),
-                        statistics.mean(x[2] for x in per_run),
-                    ])
-                else:
-                    avg_rows.append([renderer, scene,
-                                     f"{args.width}x{args.height}",
-                                     d, s, "nan", "nan", "nan"])
-                # rewrite CSVs after EVERY config: a multi-hour sweep
-                # that dies mid-way still leaves its finished rows
-                _write_csvs(_merge(old_raw, raw_rows),
-                            _merge(old_avg, avg_rows))
+            for width, height in resolutions:
+                res = f"{width}x{height}"
+                for d, s in pairs:
+                    per_run = []
+                    try:
+                        for r in range(args.runs + 1):
+                            if args.inproc:
+                                t, total, mrays = run_once_inproc(
+                                    ctx, scene, renderer, d, s,
+                                    width, height, seed=r)
+                            else:
+                                t, total, mrays = run_once(
+                                    scene, flag, d, s, width,
+                                    height, timeout=args.timeout,
+                                    seed=r)
+                            print(f"{scene} {renderer} {res} d={d} "
+                                  f"s={s} run={r}: {mrays:.2f} Mrays/s"
+                                  + (" (warm-up, discarded)"
+                                     if r == 0 else ""), flush=True)
+                            row = [renderer, scene, res,
+                                   d, s, r, t, mrays, total]
+                            raw_rows.append(row)
+                            if r > 0:
+                                per_run.append((t, mrays, total))
+                    except (RuntimeError,
+                            subprocess.TimeoutExpired) as e:
+                        # keep sweeping; a failed config gets a nan row
+                        print(f"{scene} {renderer} {res} d={d} s={s} "
+                              f"FAILED: {str(e)[:200]}", flush=True)
+                    if per_run:
+                        avg_rows.append([
+                            renderer, scene, res, d, s,
+                            statistics.mean(x[0] for x in per_run),
+                            statistics.mean(x[1] for x in per_run),
+                            statistics.mean(x[2] for x in per_run),
+                        ])
+                    else:
+                        avg_rows.append([renderer, scene, res,
+                                         d, s, "nan", "nan", "nan"])
+                    # rewrite CSVs after EVERY config: a multi-hour
+                    # sweep that dies mid-way leaves finished rows
+                    _write_csvs(_merge(old_raw, raw_rows),
+                                _merge(old_avg, avg_rows))
 
     _write_csvs(_merge(old_raw, raw_rows), _merge(old_avg, avg_rows))
     print("wrote benchmark_raw.csv, benchmark_avg.csv")
