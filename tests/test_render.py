@@ -183,6 +183,29 @@ def test_sponza_scale_convergence_gate():
     assert a.std() > 0.05  # actually an image, not a constant
 
 
+def test_megakernel_sort_bit_identity(monkeypatch):
+    """SRT_MK_SORT (the megakernel's per-bounce coherence re-sort,
+    megakernel.py _sample_one/resort — TPU default since round 3) is a
+    pure lane permutation: key/orig ride along and results scatter back
+    by orig, so images and per-bounce ray tallies must be BIT-identical
+    to the unsorted megakernel. CPU defaults the sort off, so this is
+    the only coverage of the estimator-neutrality claim the TPU default
+    relies on."""
+    glb = scenes.cube_scene_glb()
+    scene, host, cam = scenes.load_pair(glb, 64, 64)
+    kw = dict(width=64, height=64, spp=4, max_depth=8, seed=3)
+    monkeypatch.delenv("SRT_MK_SORT", raising=False)
+    base, base_rays = render_megakernel(scene, cam, **kw)
+    monkeypatch.setenv("SRT_MK_SORT", "1")
+    srt, srt_rays = render_megakernel(scene, cam, **kw)
+    assert (np.asarray(base) == np.asarray(srt)).all()
+    assert (np.asarray(base_rays) == np.asarray(srt_rays)).all()
+    monkeypatch.setenv("SRT_MK_SORT", "3")  # every-3rd-bounce cadence
+    srt3, srt3_rays = render_megakernel(scene, cam, **kw)
+    assert (np.asarray(base) == np.asarray(srt3)).all()
+    assert (np.asarray(base_rays) == np.asarray(srt3_rays)).all()
+
+
 def test_f16_queue_payload(monkeypatch):
     """SRT_F16_QUEUE carries dir/att/radiance as packed halves through
     the wavefront queue — the reference's fp16 RayData quirk
