@@ -97,10 +97,11 @@ def _permute_packed(cols, perm):
     0xFFFFFFFF, a quiet NaN that XLA:TPU may CANONICALIZE in transit
     (measured round 3: every permuted miss id came back 0x7FC00000 =
     +2139095040, turning misses into hits and making every bounce-10
-    ray immortal). Values are biased into a guaranteed-normal float
-    range instead: bits = (v + 1) | 0x40000000 (valid for
-    -1 <= v < 2^30 - 1, which covers tri ids, queue ids, and flags) —
-    normal floats are never rewritten by the FPU."""
+    ray immortal). Values are biased into a guaranteed-non-NaN float
+    range instead: bits = (v + 1) | 0x40000000, which stays below the
+    NaN region (bits > 0x7F800000) for -1 <= v < 0x3F800000 - 1
+    (~1.07e9) — covering tri ids, queue ids, and flags by ~60x —
+    and non-NaN floats are never rewritten by the FPU."""
     def enc(c):
         if c.dtype == jnp.float32:
             return c
