@@ -62,7 +62,7 @@ def sample_texture(scene, tex: jnp.ndarray,
     row gather but a quarter of the moved bytes and no row-width
     relayout (gather economics, PLAN_TPU.md).
     """
-    res = scene.textures.shape[1]
+    res = scene.tex_res
     x = jnp.floor(u * res).astype(jnp.int32) % res
     y = jnp.floor(v * res).astype(jnp.int32) % res
     t = jnp.maximum(tex, 0)
@@ -82,9 +82,8 @@ def albedo_lanes(scene, mat: MatLanes, u, v) -> V3:
     # entirely — an [R] random-access gather costs ~65 ns/row on v5e
     # regardless of how little it reads. has_textures is a build-time
     # static field (the loaders always emit a >=1-entry dummy atlas,
-    # so a shape check alone would never fire — round-2 advisor).
-    if scene.textures.shape[0] == 0 or not getattr(
-            scene, "has_textures", True):
+    # so a size check alone would never fire — round-2 advisor).
+    if not getattr(scene, "has_textures", True):
         return solid
     tex = sample_texture(scene, mat.tex, u, v)
     return where(mat.tex >= 0, tex, solid)

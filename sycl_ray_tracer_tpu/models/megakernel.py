@@ -75,6 +75,18 @@ def _sample_one(scene, cam: Camera, px, py, lane, sample_idx, seed,
         state = _trace.trace_step(scene, state, key, 2,  # ctr 0,1=jitter
                                   rr=rr, bounce_idx=0, primary=True)
 
+    # Never-permuted key array: resort re-gathers each lane's key from
+    # it by orig as a plain uint32 take. The key must NOT ride
+    # _compact's packed take — that bitcasts int columns to f32, and
+    # XLA:TPU canonicalizes NaN bit patterns in transit (measured,
+    # trace.py _permute_packed); pcg2d keys are uniform uint32, so
+    # ~2^-8 of lanes per sort would silently switch (and collide on
+    # 0x7FC00000) RNG streams. Small ints (orig, done) are safe: their
+    # bitcasts are denormal/low-normal patterns, which data movement
+    # preserves (the wavefront has shipped q_id this way from round 1
+    # with oracle-exact results).
+    key0 = key
+
     def resort(st, key, orig):
         from sycl_ray_tracer_tpu.models.wavefront import (_compact,
                                                           _coherence_key)
@@ -86,15 +98,15 @@ def _sample_one(scene, cam: Camera, px, py, lane, sample_idx, seed,
             st.att.x, st.att.y, st.att.z,
             st.rad.x, st.rad.y, st.rad.z,
             st.result.x, st.result.y, st.result.z,
-            key, orig, st.done.astype(jnp.int32)], r, sort_key=sk)
+            orig, st.done.astype(jnp.int32)], r, sort_key=sk)
         st = PathState(
             o=V3(cols[0], cols[1], cols[2]),
             d=V3(cols[3], cols[4], cols[5]),
             att=V3(cols[6], cols[7], cols[8]),
             rad=V3(cols[9], cols[10], cols[11]),
             result=V3(cols[12], cols[13], cols[14]),
-            done=cols[17] != 0)
-        return st, cols[15], cols[16]
+            done=cols[16] != 0)
+        return st, jnp.take(key0, cols[15], axis=0), cols[15]
 
     def cond(carry):
         i, st, _, _, _ = carry

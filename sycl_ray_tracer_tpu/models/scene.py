@@ -83,12 +83,13 @@ class DeviceScene:
     mat_rough: jnp.ndarray     # [M]
     mat_ior: jnp.ndarray       # [M]
     mat_emissive: jnp.ndarray  # [M, 3]
-    # Texture atlas (nearest/repeat sampling; image_manager.hpp parity)
-    textures: jnp.ndarray      # [T, 512, 512, 4] uint8
-    # Same texels packed RGBA into one uint32 per texel: the per-bounce
-    # atlas sample is then ONE [R] single-lane gather + vector bit
-    # unpack instead of an [R, 4] row gather (gather cost is per row
-    # and grows with row width relayouts; PLAN_TPU.md).
+    # Texture atlas (nearest/repeat sampling; image_manager.hpp parity),
+    # texels packed RGBA into one uint32 each: the per-bounce atlas
+    # sample is then ONE [R] single-lane gather + vector bit unpack
+    # instead of an [R, 4] row gather (gather cost is per row and grows
+    # with row width relayouts; PLAN_TPU.md). The host's uint8
+    # [T, 512, 512, 4] atlas stays host-side — shipping it too would
+    # double the atlas HBM (and per-shard copies) for zero device reads.
     tex_packed: jnp.ndarray    # [T*512*512] uint32
     sky_color: jnp.ndarray     # [3]
     scene_lo: jnp.ndarray      # [3] world bounds (for ray-sort Morton keys)
@@ -110,6 +111,8 @@ class DeviceScene:
     # (the [T,512,512,4] dummy atlas the HostScene contract always
     # emits means textures.shape[0] is never 0 — round-2 advisor).
     has_textures: bool = struct.field(pytree_node=False, default=True)
+    # Atlas edge length in texels (tex_packed rows are tex_res^2 long)
+    tex_res: int = struct.field(pytree_node=False, default=512)
     has_sah: bool = struct.field(pytree_node=False, default=False)
     sah_ni: int = struct.field(pytree_node=False, default=1)
     leaf_size: int = struct.field(pytree_node=False, default=DEFAULT_LEAF_SIZE)
@@ -182,8 +185,11 @@ def build_device_scene(host: HostScene,
         # Measured round 2: bf16 single-tree runs at ~0.95x the f32
         # in-VMEM rate, vs the 2.3-3x treelet chaining tax — so prefer
         # it whenever it fits (minecraft_proc 2.06M tris).
+        # build_sah returns None when the native library is unavailable
+        # (ops/sah.py contract) — fall through to treelets/Morton then
         sahb = _sah.build_sah(host.tri_v, leaf_size)
-        if sahb.num_internal + sahb.num_leaves < (1 << 24):
+        if sahb is not None and (
+                sahb.num_internal + sahb.num_leaves < (1 << 24)):
             lt_tiles = -(-sahb.num_leaves // 8)
             est_f32 = (-(-sahb.num_internal // 16)
                        + lt_tiles) * 8 * 128 * 4
@@ -346,7 +352,7 @@ def build_device_scene(host: HostScene,
         mat_rough=jnp.asarray(m.roughness),
         mat_ior=jnp.asarray(m.ior),
         mat_emissive=jnp.asarray(m.emissive),
-        textures=jnp.asarray(host.textures),
+        tex_res=int(host.textures.shape[1]),
         tex_packed=jnp.asarray(
             (host.textures[..., 0].astype(np.uint32)
              | (host.textures[..., 1].astype(np.uint32) << 8)

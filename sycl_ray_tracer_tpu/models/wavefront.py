@@ -64,6 +64,25 @@ def _unpack_f16_pair(p: jnp.ndarray):
     return a.astype(jnp.float32), b.astype(jnp.float32)
 
 
+def bucket_of(c: int, cap: int, floor_bits: int = 16) -> int:
+    """Program-shape bucket for a live count of c (host-side int math).
+
+    Survivors are a compacted prefix, so later bounces can run
+    programs sized to the live count. Bucket sizes are 2^k AND
+    3*2^(k-1) (…, 2M, 3M, 4M, 6M, 8M, …): the half-step cuts the
+    dead-row tail from <=100% to <=50% overhead rows — early
+    bounces sit just above a power of two (e.g. 12.4M live in a
+    16.7M bucket) and pay the whole gap in sort/shade row tolls.
+    The 2^floor_bits floor bounds the compiled-shape count (64K
+    single-chip; the sharded host loop uses 16K because its per-shard
+    queues are 1/(dp*sp) the size). Shared with parallel/mesh.py so
+    the single-chip and sharded bucketing can't drift."""
+    b = 1 << max(int(c - 1).bit_length(), floor_bits)
+    if c <= (b >> 2) * 3:
+        b = (b >> 2) * 3
+    return min(b, cap)
+
+
 def _compact(alive: jnp.ndarray, arrays, capacity: int,
              sort_key: jnp.ndarray | None = None,
              f16_fields: tuple = ()):
@@ -488,19 +507,6 @@ def render_wavefront(scene, cam: Camera, *, width: int, height: int,
     # fp16 RayData quirk (camera.hpp:12-63). Off by default: measured
     # RMSE-neutral but also perf-neutral on v5e (see PLAN_TPU.md).
     f16_queue = os.environ.get("SRT_F16_QUEUE") == "1"
-
-    def bucket_of(c, cap):
-        # Survivors are a compacted prefix, so later bounces can run
-        # programs sized to the live count. Bucket sizes are 2^k AND
-        # 3*2^(k-1) (…, 2M, 3M, 4M, 6M, 8M, …): the half-step cuts the
-        # dead-row tail from <=100% to <=50% overhead rows — early
-        # bounces sit just above a power of two (e.g. 12.4M live in a
-        # 16.7M bucket) and pay the whole gap in sort/shade row tolls.
-        # 64K floor bounds the compiled-shape count.
-        b = 1 << max(int(c - 1).bit_length(), 16)
-        if c <= (b >> 2) * 3:
-            b = (b >> 2) * 3
-        return min(b, cap)
 
     s = 0
     while s < spp:

@@ -167,9 +167,15 @@ def validate(bvh: SahBvh, tri_v: np.ndarray) -> None:
     seen = bvh.order[bvh.order >= 0]
     assert len(seen) >= tri_v.shape[0]
     assert len(np.unique(seen)) == tri_v.shape[0], "tri lost"
-    split = len(seen) > tri_v.shape[0]
-    if not split:
-        assert len(seen) == tri_v.shape[0]
+    # Spatial-ness comes from the builder's DECLARED ref count, not
+    # from the data being validated: an object-split builder bug that
+    # duplicated a reference must fail the exact-count check below,
+    # not silently flip this into "spatial" mode and skip it.
+    split = bvh.num_refs > tri_v.shape[0]
+    if split:
+        assert len(seen) == bvh.num_refs, "ref count mismatch"
+    else:
+        assert len(seen) == tri_v.shape[0], "duplicated reference"
 
     # child boxes contain their triangles / sub-boxes
     boxes = bvh.children.reshape(ni, 6, 8)

@@ -151,10 +151,9 @@ def _render_sharded_wavefront_hostloop(
             check_vma=False)(scene, *state)
 
     def bucket_of(c, cap):
-        b = 1 << max(int(c - 1).bit_length(), 14)
-        if c <= (b >> 2) * 3:
-            b = (b >> 2) * 3
-        return min(b, cap)
+        from sycl_ray_tracer_tpu.models.wavefront import (
+            bucket_of as _bucket_of)
+        return _bucket_of(c, cap, floor_bits=14)
 
     rays = np.zeros((max_depth,), np.int64)
     combined = None
