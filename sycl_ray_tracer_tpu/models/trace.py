@@ -44,25 +44,44 @@ class PathState(NamedTuple):
     done: jnp.ndarray  # bool
 
 
+# Kernel-selection knobs, read ONCE at import like SORT_MODE/TL_BIN:
+# these feed traced code, so a mid-process env flip could never take
+# effect anyway (the first compile freezes the choice per shape) —
+# reading at import makes that contract explicit instead of silently
+# ignoring late flips (round-1 verdict's freeze-at-first-compile trap).
+FORCED_KERNEL = os.environ.get("SRT_KERNEL")
+FORCE_XLA = (bool(os.environ.get("SRT_FORCE_XLA_TRAVERSE"))
+             or FORCED_KERNEL == "xla")
+_warned_forced = set()
+
+
 def _packet_kernel_version(scene) -> int:
     """0 = XLA traversal, 1 = v1 packet kernel, 2 = v2 tile kernel,
     5 = v5 sync-amortized tile kernel (default on TPU)."""
-    forced = os.environ.get("SRT_KERNEL")
-    if os.environ.get("SRT_FORCE_XLA_TRAVERSE") or forced == "xla":
+    forced = FORCED_KERNEL
+    if FORCE_XLA:
         return 0
     if jax.default_backend() != "tpu":
         return 0  # Mosaic kernels; CPU tests use the XLA twin
+    split_bytes = (scene.bvh_children.size + scene.bvh_leaves.size) * 4
+    v1 = 1 if split_bytes <= VMEM_TABLE_LIMIT_BYTES else 0
     if forced == "v1":
-        table_bytes = (scene.bvh_children.size
-                       + scene.bvh_leaves.size) * 4
-        return 1 if table_bytes <= VMEM_TABLE_LIMIT_BYTES else 0
+        return v1
     # v2/v5 tile tables exist only for leaf_size=8 scenes (scene.py)
     if scene.has_tiles:
         table_bytes = (scene.bvh_ctiles.size + scene.bvh_ltiles.size) * 4
         if table_bytes <= VMEM_TABLE_LIMIT_BYTES:
             return 2 if forced == "v2" else 5
-    table_bytes = (scene.bvh_children.size + scene.bvh_leaves.size) * 4
-    return 1 if table_bytes <= VMEM_TABLE_LIMIT_BYTES else 0
+    if forced in ("v2", "v5", "v6") and forced not in _warned_forced:
+        # a probe believing it forced a tile kernel must not silently
+        # measure the v1/XLA fallback
+        import sys
+        print(f"[srt] SRT_KERNEL={forced} ignored: scene has no "
+              f"in-VMEM tile tables (leaf_size={scene.leaf_size}, "
+              f"has_tiles={scene.has_tiles}); using "
+              f"{'v1' if v1 else 'xla'}", file=sys.stderr)
+        _warned_forced.add(forced)
+    return v1
 
 
 # v5 kernel configs from the round-2 TPU sweeps (PLAN_TPU.md):
@@ -163,38 +182,47 @@ def _intersect_treelets(scene, o: V3, d: V3, active, primary: bool,
             tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
             ok = act0 & (tmax >= jnp.maximum(tmin, 0.0))
             ents.append(jnp.where(ok, tmin, jnp.float32(BIG)))
-        ents = jnp.stack(ents, axis=0)                 # [T, R]
-        first = jnp.argmin(ents, axis=0).astype(jnp.int32)
-        first = jnp.where(ents.min(axis=0) >= jnp.float32(BIG) * 0.5,
+        stack = jnp.stack(ents, axis=0)                # [T, R]
+        first = jnp.argmin(stack, axis=0).astype(jnp.int32)
+        first = jnp.where(stack.min(axis=0) >= jnp.float32(BIG) * 0.5,
                           jnp.int32(scene.tl_count), first)
         perm = jnp.argsort(first, stable=True)
+        # the entry distances ride the SAME packed permute as the ray
+        # payload (flat-width gather economics) so the chain loop need
+        # not redo the T x R slab tests on the permuted rays
         cols = _permute_packed(
             [o.x, o.y, o.z, d.x, d.y, d.z,
-             act0.astype(jnp.int32)], perm)
+             act0.astype(jnp.int32)] + ents, perm)
         o = V3(cols[0], cols[1], cols[2])
         d = V3(cols[3], cols[4], cols[5])
         act0 = cols[6] != 0
-        ix, iy, iz = inv(d.x), inv(d.y), inv(d.z)
+        ents = cols[7:]
 
     t_cur = jnp.full((r,), BIG, jnp.float32)
     tri_cur = jnp.full((r,), -1, jnp.int32)
     u_cur = jnp.zeros((r,), jnp.float32)
     v_cur = jnp.zeros((r,), jnp.float32)
     for i in range(scene.tl_count):
-        lo, hi = scene.tl_lo[i], scene.tl_hi[i]
-        t1 = (lo[0] - o.x) * ix
-        t2 = (hi[0] - o.x) * ix
-        tmin = jnp.minimum(t1, t2)
-        tmax = jnp.maximum(t1, t2)
-        t1 = (lo[1] - o.y) * iy
-        t2 = (hi[1] - o.y) * iy
-        tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
-        tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
-        t1 = (lo[2] - o.z) * iz
-        t2 = (hi[2] - o.z) * iz
-        tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
-        tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
-        act_i = act0 & (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < t_cur)
+        if perm is not None:
+            # permuted entry distance: BIG where inactive or slab-miss
+            # (baked in above), so one compare replaces the slab redo
+            act_i = ents[i] < t_cur
+        else:
+            lo, hi = scene.tl_lo[i], scene.tl_hi[i]
+            t1 = (lo[0] - o.x) * ix
+            t2 = (hi[0] - o.x) * ix
+            tmin = jnp.minimum(t1, t2)
+            tmax = jnp.maximum(t1, t2)
+            t1 = (lo[1] - o.y) * iy
+            t2 = (hi[1] - o.y) * iy
+            tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
+            tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
+            t1 = (lo[2] - o.z) * iz
+            t2 = (hi[2] - o.z) * iz
+            tmin = jnp.maximum(tmin, jnp.minimum(t1, t2))
+            tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
+            act_i = (act0 & (tmax >= jnp.maximum(tmin, 0.0))
+                     & (tmin < t_cur))
         hit = traverse_packets5(scene.tl_ctiles[i], scene.tl_ltiles[i],
                                 scene.tl_ni, scene.leaf_size, o, d,
                                 active=act_i, rows=rows or rb,
@@ -206,7 +234,10 @@ def _intersect_treelets(scene, o: V3, d: V3, active, primary: bool,
         u_cur = jnp.where(better, hit.u, u_cur)
         v_cur = jnp.where(better, hit.v, v_cur)
     if perm is not None:
-        inv_perm = jnp.argsort(perm)
+        # invert the permutation in O(R) (scatter of iota) instead of
+        # paying a second full argsort
+        inv_perm = jnp.zeros_like(perm).at[perm].set(
+            jnp.arange(r, dtype=perm.dtype))
         t_cur, tri_cur, u_cur, v_cur = _permute_packed(
             [t_cur, tri_cur, u_cur, v_cur], inv_perm)
     return Hit(t=t_cur, tri=tri_cur, u=u_cur, v=v_cur)
@@ -225,8 +256,7 @@ def intersect_scene(scene, o: V3, d: V3,
                         scene.lbvh_e1, scene.lbvh_e2, o, d,
                         scene.leaf_size, active_in=active)
     if scene.tl_count > 0 and jax.default_backend() == "tpu" and (
-            not os.environ.get("SRT_FORCE_XLA_TRAVERSE")
-            and os.environ.get("SRT_KERNEL") != "xla"):
+            not FORCE_XLA):
         return _intersect_treelets(scene, o, d, active, primary,
                                    rows=rows)
     version = _packet_kernel_version(scene)

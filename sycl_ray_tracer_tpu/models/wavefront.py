@@ -155,7 +155,12 @@ def _compact(alive: jnp.ndarray, arrays, capacity: int,
 #   oct_morton  (octant << 27) | morton27(origin)   — round-1 default
 #   dir6_morton (6-bit direction bin << 24) | morton24 — finer binning
 #   leaf_oct    (hit leaf id << 3) | octant — rays from the same BVH
-#               leaf start traversal in the same neighborhood
+#               leaf start traversal in the same neighborhood. The
+#               "leaf id" is the canonical Morton slot group
+#               (tri // 8), NOT the traversed tree's leaf when an
+#               SAH remap is active — i.e. a spatial-locality proxy;
+#               the recorded ablation (2.99 Mrays/s) measured exactly
+#               this form
 #   none        compaction without sorting
 #   cell_oct_morton  coarse cell | octant | fine morton — groups by
 #               place first, direction second
@@ -347,6 +352,13 @@ def accumulate_wavefront(scene, cam: Camera, px, py, lane, *,
     per-bounce ray counts [max_depth] int32)."""
     n = px.shape[0]
     c = min(CHUNK, n)
+    # per-bounce tallies are traced int32 (x64 is off); the host-driven
+    # render_wavefront sums np.int64 instead and has no such bound
+    if c * spp >= (1 << 31):
+        raise ValueError(
+            f"chunk({c}) * spp({spp}) overflows the int32 per-bounce "
+            f"ray tallies; split spp across calls (sample_offset) or "
+            f"use render_wavefront's host-driven loop")
     pad = (-n) % c
     n_chunks = (n + pad) // c
 
@@ -405,15 +417,21 @@ def accumulate_wavefront(scene, cam: Camera, px, py, lane, *,
         (jnp.zeros((n, 3), jnp.float32), jnp.zeros((max_depth,), jnp.int32)))
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height", "waves"))
+@functools.partial(jax.jit, static_argnames=("width", "height", "waves",
+                                             "return_keys"))
 def _gen_queue(scene, cam: Camera, seed, sample_offset, *, width: int,
-               height: int, waves: int = 1):
+               height: int, waves: int = 1, return_keys: bool = True):
     """generate_camera_rays stage (render_wavefront.cpp:79-127).
 
     `waves` camera samples are batched into ONE queue of waves*W*H
     rays (lane // n = sample index within the batch, lane % n = pixel).
     Batching amortizes the fixed per-bounce cost and gives the
-    coherence sort a larger pool."""
+    coherence sort a larger pool.
+
+    return_keys=False drops the [waves*n] uint32 key output (the
+    production host loop recomputes keys from q_id, so materializing
+    it would hold a dead ~67 MB buffer per 16M-ray wave; the tools/
+    probes that index keys by q_id keep the default)."""
     n = width * height
     total = waves * n
     lane = jnp.arange(total, dtype=jnp.uint32)
@@ -432,7 +450,7 @@ def _gen_queue(scene, cam: Camera, seed, sample_offset, *, width: int,
              ones, ones, ones, zeros, zeros, zeros,
              jnp.arange(total, dtype=jnp.int32), jnp.int32(total), acc,
              jnp.zeros((1,), jnp.int32))
-    return key_lane, state
+    return (key_lane if return_keys else None), state
 
 
 @functools.partial(jax.jit,
@@ -512,8 +530,8 @@ def render_wavefront(scene, cam: Camera, *, width: int, height: int,
     while s < spp:
         w = min(waves, spp - s)
         cap = w * n
-        key_lane, state = _gen_queue(scene, cam, seed, s,
-                                     width=width, height=height, waves=w)
+        _, state = _gen_queue(scene, cam, seed, s, width=width,
+                              height=height, waves=w, return_keys=False)
         key_seed = (jnp.asarray(seed, jnp.uint32),
                     jnp.asarray(s, jnp.uint32), jnp.uint32(0))
         count = cap

@@ -136,6 +136,18 @@ def build_treelets(tri_v: np.ndarray, inv_morton: np.ndarray,
     nt = max(p[0].shape[0] for p in packed)
     ltn = max(p[1].shape[0] for p in packed)
     s = max(p[2].shape[0] for p in packed)
+    # every treelet's tables pad to the max shape (one compiled kernel
+    # serves all passes); surface lopsided partitions instead of
+    # silently blowing the per-treelet VMEM budget on padding
+    used = sum(p[0].shape[0] + p[1].shape[0] for p in packed)
+    alloc = t * (nt + ltn)
+    if alloc > 0 and used / alloc < 0.75:
+        import sys
+        waste = 100.0 * (1.0 - used / alloc)
+        print(f"[srt] treelet padding waste {waste:.0f}% ({t} treelets "
+              f"pad to max tile shape {nt}+{ltn}); a lopsided "
+              f"partition inflates every pass's VMEM tables",
+              file=sys.stderr)
     ctiles = np.zeros((t, nt, 8, 128), np.float32)
     ltiles = np.zeros((t, ltn, 8, 128), np.float32)
     remap = np.full((t, s), -1, np.int32)
