@@ -53,6 +53,7 @@ struct JsonParser {
   const char* p;
   const char* end;
   bool ok = true;
+  int depth = 0;  // container nesting; caps C++-stack recursion
 
   explicit JsonParser(const char* data, size_t len)
       : p(data), end(data + len) {}
@@ -69,6 +70,9 @@ struct JsonParser {
   Json parse() {
     skip_ws();
     if (p >= end) { ok = false; return {}; }
+    // a maliciously deep document must fail the parse, not overflow
+    // the C++ stack (the caller then falls back to the Python loader)
+    if (depth > 512) { ok = false; return {}; }
     switch (*p) {
       case '{': return parse_obj();
       case '[': return parse_arr();
@@ -80,9 +84,10 @@ struct JsonParser {
   }
   Json parse_obj() {
     Json j; j.type = Json::Obj;
+    ++depth;
     ++p;  // {
     skip_ws();
-    if (match('}')) return j;
+    if (match('}')) { --depth; return j; }
     while (ok) {
       skip_ws();
       if (p >= end || *p != '"') { ok = false; break; }
@@ -93,19 +98,22 @@ struct JsonParser {
       if (match('}')) break;
       ok = false; break;
     }
+    --depth;
     return j;
   }
   Json parse_arr() {
     Json j; j.type = Json::Arr;
+    ++depth;
     ++p;  // [
     skip_ws();
-    if (match(']')) return j;
+    if (match(']')) { --depth; return j; }
     while (ok) {
       j.arr.push_back(parse());
       if (match(',')) continue;
       if (match(']')) break;
       ok = false; break;
     }
+    --depth;
     return j;
   }
   Json parse_str() {
@@ -156,10 +164,23 @@ struct JsonParser {
   }
   Json parse_num() {
     Json j; j.type = Json::Num;
-    char* q = nullptr;
-    j.num = strtod(p, &q);
-    if (q == p) { ok = false; }
-    p = q;
+    // bounded copy before strtod: the JSON chunk is NOT NUL-terminated,
+    // so strtod on a number truncated at the chunk boundary would read
+    // into the BIN chunk (or off the buffer). Every other parse path
+    // checks p < end; this one must too.
+    char buf[64];
+    int n = 0;
+    const char* q = p;
+    while (q < end && n < 63 &&
+           ((*q >= '0' && *q <= '9') || *q == '-' || *q == '+' ||
+            *q == '.' || *q == 'e' || *q == 'E')) {
+      buf[n++] = *q++;
+    }
+    buf[n] = 0;
+    char* e2 = nullptr;
+    j.num = strtod(buf, &e2);
+    if (e2 == buf) { ok = false; }
+    p += (e2 - buf);
     return j;
   }
 };
@@ -311,19 +332,29 @@ AccessorView accessor(const Json& gltf, const uint8_t* bin, size_t bin_len,
   v.count = (size_t)acc["count"].dnum(0);
   v.ncomp = ncomp_of(acc["type"].str);
   v.ctype = acc["componentType"].inum(5126);
-  if (!acc.has("bufferView")) return v;  // spec: zero-filled
+  if (!acc.has("bufferView")) {
+    // spec: zero-filled — but a malformed count must not drive a
+    // multi-GB resize downstream (which would throw through the C ABI)
+    if (v.count > (size_t)1 << 28) { v.count = 0; v.ok = false; }
+    return v;
+  }
   const Json& view = gltf["bufferViews"].at(acc["bufferView"].inum(0));
   size_t off = (size_t)view["byteOffset"].dnum(0) +
                (size_t)acc["byteOffset"].dnum(0);
   size_t tight = (size_t)v.ncomp * comp_size(v.ctype);
   v.stride = view.has("byteStride") ? (size_t)view["byteStride"].dnum(tight)
                                     : tight;
+  if (v.stride == 0) v.stride = tight;  // malformed; match gltf.py
   // Validate the FULL range the accessor will read (a truncated or
   // malformed .glb must not read out of bounds): the last element
-  // starts at off + stride*(count-1) and spans `tight` bytes.
-  if (v.count > 0 && off <= bin_len &&
-      v.stride * (v.count - 1) <= bin_len - off &&
-      tight <= bin_len - off - v.stride * (v.count - 1)) {
+  // starts at off + stride*(count-1) and spans `tight` bytes. Division
+  // form — stride*(count-1) on attacker-controlled values can wrap
+  // size_t and defeat the check.
+  bool fits = v.count > 0 && off <= bin_len && tight <= bin_len - off;
+  if (fits && v.count > 1) {
+    fits = v.stride <= (bin_len - off - tight) / (v.count - 1);
+  }
+  if (fits) {
     v.data = bin + off;
   } else {
     v.data = nullptr;
@@ -401,7 +432,14 @@ void classify_materials(const Json& gltf, Scene* s) {
 void load_node(const Json& gltf, const uint8_t* bin, size_t bin_len,
                int node_idx, const Mat4& parent, const Mat4& scale_m,
                Scene* s, int default_mat, int* camera_node,
-               Mat4* camera_world) {
+               Mat4* camera_world, int depth = 0) {
+  // A cyclic or absurdly deep node graph must fail the load (-> clean
+  // Python-side error), not overflow the C++ stack.
+  if (depth > 256) {
+    s->error = "node graph too deep (or cyclic)";
+    return;
+  }
+  if (!s->error.empty()) return;
   const Json& node = gltf["nodes"].at(node_idx);
   Mat4 chain = parent.mul(local_matrix(node));
   Mat4 world = chain.mul(scale_m);
@@ -422,7 +460,13 @@ void load_node(const Json& gltf, const uint8_t* bin, size_t bin_len,
     for (size_t pi = 0; pi < prims.size(); pi++) {
       const Json& prim = prims.at(pi);
       const Json& attrs = prim["attributes"];
-      if (!attrs.has("POSITION")) continue;
+      if (!attrs.has("POSITION")) {
+        // gltf.py raises on this; erroring here routes the same file
+        // to the Python loader so both paths agree (loader-parity
+        // invariant) instead of silently dropping geometry
+        s->error = "primitive without POSITION attribute";
+        return;
+      }
       AccessorView pos = accessor(gltf, bin, bin_len,
                                   attrs["POSITION"].inum(0));
       AccessorView nrm{}, uv{};
@@ -449,6 +493,10 @@ void load_node(const Json& gltf, const uint8_t* bin, size_t bin_len,
       } else {
         idx.resize(pos.count);
         for (size_t i = 0; i < pos.count; i++) idx[i] = (uint32_t)i;
+      }
+      if (idx.size() % 3 != 0) {
+        s->error = "index count not divisible by 3";  // gltf.py parity
+        return;
       }
       size_t ntri = idx.size() / 3;
       int mat = prim.has("material") ? prim["material"].inum(default_mat)
@@ -505,7 +553,7 @@ void load_node(const Json& gltf, const uint8_t* bin, size_t bin_len,
     const Json& ch = node["children"];
     for (size_t i = 0; i < ch.size(); i++)
       load_node(gltf, bin, bin_len, ch.at(i).inum(0), chain, scale_m, s,
-                default_mat, camera_node, camera_world);
+                default_mat, camera_node, camera_world, depth + 1);
   }
 }
 
@@ -560,7 +608,8 @@ Scene* load_glb_impl(const uint8_t* data, size_t len, const float gscale[3]) {
 
   // sky extras (scene.cpp:80-94)
   const Json& extras = scene["extras"];
-  if (extras.has("sky_color") && extras["sky_color"].size() == 3)
+  // >= 3: gltf.py takes the first three of a longer list ([:3] parity)
+  if (extras.has("sky_color") && extras["sky_color"].size() >= 3)
     for (int c = 0; c < 3; c++)
       s->sky[c] = (float)extras["sky_color"].at(c).dnum(0.5);
   if (extras.has("sky_strength")) {
@@ -614,6 +663,12 @@ Scene* load_glb_impl(const uint8_t* data, size_t len, const float gscale[3]) {
     s->cam_pos[2] += (float)(2.0 * std::max(ext, 1e-6));
     s->cam_dir[0] = 0; s->cam_dir[1] = 0; s->cam_dir[2] = -1;
     s->focal = (float)(1.0 / std::tan(M_PI / 8));
+  } else {
+    // no camera, no triangles: gltf.py frames a unit bbox at origin
+    // from +Z (center 0, extent 1 -> pos (0,0,2)); match it exactly
+    s->cam_pos[0] = 0; s->cam_pos[1] = 0; s->cam_pos[2] = 2.0f;
+    s->cam_dir[0] = 0; s->cam_dir[1] = 0; s->cam_dir[2] = -1;
+    s->focal = (float)(1.0 / std::tan(M_PI / 8));
   }
 
   // raw embedded image bytes (decoded Python-side)
@@ -640,7 +695,20 @@ extern "C" {
 void* srt_load_glb(const uint8_t* data, int64_t len, const float* scale3) {
   float sc[3] = {scale3 ? scale3[0] : 1.0f, scale3 ? scale3[1] : 1.0f,
                  scale3 ? scale3[2] : 1.0f};
-  return load_glb_impl(data, (size_t)len, sc);
+  // No C++ exception may cross the C ABI into ctypes (that would
+  // std::terminate the whole Python process); malformed inputs become
+  // an error string, which the Python side turns into a clean fallback.
+  try {
+    return load_glb_impl(data, (size_t)len, sc);
+  } catch (const std::exception& e) {
+    auto* s = new Scene();
+    s->error = std::string("native loader exception: ") + e.what();
+    return s;
+  } catch (...) {
+    auto* s = new Scene();
+    s->error = "native loader exception";
+    return s;
+  }
 }
 
 const char* srt_error(void* sp) {

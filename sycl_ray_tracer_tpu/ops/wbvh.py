@@ -265,7 +265,7 @@ def heap_child_ids_np(ni: int) -> np.ndarray:
     """
     i = np.arange(ni, dtype=np.int64)[:, None]
     return (8 * i + 1 + np.arange(8, dtype=np.int64)[None, :]).astype(
-        np.int64)
+        np.int32)
 
 
 def pack_tiles_np(children: np.ndarray, child_ids: np.ndarray,

@@ -178,6 +178,31 @@ def _local_matrix(node: dict) -> np.ndarray:
     return m
 
 
+def _invert3x3_transpose(m: np.ndarray) -> np.ndarray:
+    """inverse-transpose normal matrix via the adjugate, mirroring
+    native/srt_native.cpp invert3x3_transpose OP-FOR-OP so the two
+    loaders stay bit-identical (loader-parity invariant). det == 0
+    (e.g. a zero-scale node) zero-fills instead of raising — matching
+    the native path and the reference's glm behavior for such nodes."""
+    a = np.asarray(m, np.float64).reshape(3, 3)
+    det = (a[0, 0] * (a[1, 1] * a[2, 2] - a[1, 2] * a[2, 1])
+           - a[0, 1] * (a[1, 0] * a[2, 2] - a[1, 2] * a[2, 0])
+           + a[0, 2] * (a[1, 0] * a[2, 1] - a[1, 1] * a[2, 0]))
+    inv_det = 1.0 / det if det != 0.0 else 0.0
+    inv = np.array([
+        [a[1, 1] * a[2, 2] - a[1, 2] * a[2, 1],
+         -(a[0, 1] * a[2, 2] - a[0, 2] * a[2, 1]),
+         a[0, 1] * a[1, 2] - a[0, 2] * a[1, 1]],
+        [-(a[1, 0] * a[2, 2] - a[1, 2] * a[2, 0]),
+         a[0, 0] * a[2, 2] - a[0, 2] * a[2, 0],
+         -(a[0, 0] * a[1, 2] - a[0, 2] * a[1, 0])],
+        [a[1, 0] * a[2, 1] - a[1, 1] * a[2, 0],
+         -(a[0, 0] * a[2, 1] - a[0, 1] * a[2, 0]),
+         a[0, 0] * a[1, 1] - a[0, 1] * a[1, 0]],
+    ], np.float64) * inv_det
+    return inv.T
+
+
 def _node_world_matrices(gltf: dict, scene_nodes: List[int],
                          global_scale: np.ndarray) -> Dict[int, np.ndarray]:
     """World matrix per reachable node.
@@ -349,7 +374,10 @@ def load_glb(path_or_bytes, global_scale=(1.0, 1.0, 1.0),
 
     # Sky (scene.extras, scene.cpp:80-94)
     extras = scene.get("extras", {})
-    sky = np.asarray(extras.get("sky_color", DEFAULT_SKY), np.float32)[:3]
+    sky = np.asarray(extras.get("sky_color", DEFAULT_SKY),
+                     np.float32).reshape(-1)[:3]
+    if sky.shape[0] != 3:  # malformed extras: never emit a [2] sky
+        sky = np.asarray(DEFAULT_SKY, np.float32)
     if "sky_strength" in extras:
         sky = sky * np.float32(extras["sky_strength"])
 
@@ -380,7 +408,7 @@ def load_glb(path_or_bytes, global_scale=(1.0, 1.0, 1.0),
             continue
         mesh = meshes[node["mesh"]]
         m3 = mat4[:3, :3]
-        normal_m = np.linalg.inv(m3).T  # scene.cpp:502
+        normal_m = _invert3x3_transpose(m3)  # scene.cpp:502
         for prim in mesh.get("primitives", []):
             attrs = prim.get("attributes", {})
             if "POSITION" not in attrs:
