@@ -30,6 +30,11 @@ def main():
     import numpy as np
     import jax
 
+    # honor SRT_PLATFORM like cli.py / benchmark.py --inproc: the
+    # sitecustomize pins jax_platforms via config, which outranks the
+    # JAX_PLATFORMS env var (CLAUDE.md)
+    if os.environ.get("SRT_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["SRT_PLATFORM"])
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser("~/.cache/jax_comp"))
 

@@ -59,7 +59,6 @@ def run_once_inproc(ctx, scene, renderer, depth, samples, width,
 
     key = scene
     if key not in ctx:
-        from sycl_ray_tracer_tpu.models.camera import make_camera
         from sycl_ray_tracer_tpu.models.scene import build_device_scene
         from sycl_ray_tracer_tpu.utils.cli import resolve_scene_bytes
         from sycl_ray_tracer_tpu.utils.gltf import load_glb
@@ -123,6 +122,12 @@ def main():
                          "subsets without redoing the whole matrix")
     args = ap.parse_args()
     ctx = {}
+    if not args.inproc:
+        print("WARNING: subprocess mode re-pays the full XLA remote "
+              "compile inside EVERY timed run on this box (the "
+              "persistent cache does not serialize axon remote "
+              "compiles — CLAUDE.md); use --inproc for real numbers",
+              flush=True)
     if args.inproc:
         import os as _os
 
@@ -190,6 +195,19 @@ def main():
                         # keep sweeping; a failed config gets a nan row
                         print(f"{scene} {renderer} {res} d={d} s={s} "
                               f"FAILED: {str(e)[:200]}", flush=True)
+                        if args.inproc and not _backend_alive():
+                            # a watchdog kill (UNAVAILABLE) crashes the
+                            # TPU worker for the WHOLE process
+                            # (CLAUDE.md): every further in-process
+                            # config would fail too. Abort with the
+                            # CSVs intact instead of hours of nan rows.
+                            print("backend dead after failure — "
+                                  "aborting sweep (finished rows are "
+                                  "saved; re-run with --append to "
+                                  "fill the rest)", flush=True)
+                            _write_csvs(_merge(old_raw, raw_rows),
+                                        _merge(old_avg, avg_rows))
+                            return
                     if per_run:
                         avg_rows.append([
                             renderer, scene, res, d, s,
@@ -209,14 +227,38 @@ def main():
     print("wrote benchmark_raw.csv, benchmark_avg.csv")
 
 
+def _backend_alive() -> bool:
+    """Can the device still run a trivial program? (A watchdog kill
+    takes the TPU worker down for the whole process.)"""
+    try:
+        import numpy as _np
+        import jax.numpy as _jnp
+        return float(_np.asarray(_jnp.arange(4.0).sum())) == 6.0
+    except Exception:
+        return False
+
+
 def _merge(old_rows, new_rows):
     """Old rows first, minus any whose (renderer, scene, res, depth,
-    samples) config was re-measured in this sweep."""
+    samples) config was re-measured in this sweep.
+
+    A FAILED config (nan row) never evicts previously measured data:
+    a transient failure under --append must not destroy a good row
+    (and would leave avg/raw CSVs contradicting each other, since the
+    failed config produced no raw rows)."""
+    def k(r):
+        return tuple(str(x) for x in r[:5])
+
+    def is_nan(r):
+        return str(r[5]) == "nan"
+
     if not old_rows:
         return new_rows
-    redone = {tuple(str(x) for x in r[:5]) for r in new_rows}
-    kept = [r for r in old_rows
-            if tuple(str(x) for x in r[:5]) not in redone]
+    old_keys = {k(r) for r in old_rows}
+    new_rows = [r for r in new_rows
+                if not (is_nan(r) and k(r) in old_keys)]
+    redone = {k(r) for r in new_rows}
+    kept = [r for r in old_rows if k(r) not in redone]
     return kept + new_rows
 
 

@@ -23,7 +23,7 @@ from sycl_ray_tracer_tpu.ops.sampling import random_unit_vector
 from sycl_ray_tracer_tpu.ops.vec import (V3, dot, near_zero, normalize,
                                          reflect, refract, where)
 from sycl_ray_tracer_tpu.utils.gltf import (MAT_DIELECTRIC, MAT_DIFFUSE,
-                                            MAT_METALLIC, TEX_RES)
+                                            MAT_METALLIC)
 
 
 class MatLanes(NamedTuple):

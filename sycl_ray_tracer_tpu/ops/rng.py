@@ -29,7 +29,6 @@ import jax.numpy as jnp
 _U32 = np.uint32
 # Multiplier from the PCG family (Melissa O'Neill's PCG, public domain).
 _PCG_MULT = 747796405
-_PCG_INC = 2891336453
 
 
 def _pcg2d_jnp(a: jnp.ndarray, b: jnp.ndarray):
@@ -108,7 +107,14 @@ def uniform_np(key, counter):
 
 
 def uniform3(key, counter):
-    """Three uniforms per lane (counter, counter+1, counter+2 draws)."""
+    """Three uniforms per lane from ONE counter: both pcg2d outputs at
+    (key, counter) plus the first output at (key ^ golden, counter).
+
+    NOTE: the first return value is bit-identical to
+    uniform(key, counter) — do NOT mix uniform3(key, c) with
+    uniform(key, c)/uniform(key, c+1) draws expecting independence;
+    spread additional draws with a distinct counter offset instead
+    (materials.py uses +0x55555555, trace.py +0x33333333)."""
     key = jnp.asarray(key, jnp.uint32)
     c = jnp.asarray(counter, jnp.uint32)
     a0, b0 = _pcg2d_jnp(key, c)

@@ -130,20 +130,23 @@ def main(argv=None) -> int:
         from sycl_ray_tracer_tpu.parallel.mesh import make_mesh, render_sharded
         mesh = make_mesh(dp=args.devices)
 
-        def run():
+        def run(**ov):
             return render_sharded(scene, cam, mesh=mesh,
-                                  renderer=renderer_name, **kw)
+                                  renderer=renderer_name, **{**kw, **ov})
     else:
         from sycl_ray_tracer_tpu.models.renderer import get_renderer
         renderer = get_renderer(renderer_name)
 
-        def run():
-            return renderer(scene, cam, **kw)
-
-    import jax
+        def run(**ov):
+            return renderer(scene, cam, **{**kw, **ov})
 
     if args.warmup:
-        img, rays = run()
+        # the warm-up MUST differ from the timed run: the TPU runtime
+        # memoizes back-to-back identical executions (CLAUDE.md), so a
+        # same-seed warm-up would make the timed render a memoized
+        # no-op and the printed Rays/sec fantasy (bench.py does the
+        # same seed-outside-the-measured-range trick)
+        img, rays = run(seed=args.seed + 1)
         np.asarray(img)
 
     # SRT_TRACE_DIR=<dir> captures an XLA/TPU profiler trace of the
