@@ -41,8 +41,14 @@ def _refract(uv, n, ratio):
 
 def _sample_texture_np(textures, tex, u, v):
     res = textures.shape[1]
-    x = np.floor(u * res).astype(np.int64) % res
-    y = np.floor(v * res).astype(np.int64) % res
+    # f32->int32 with saturation, matching XLA's convert semantics in
+    # materials.sample_texture (int64 modulo would pick a different
+    # texel for |u*res| >= 2^31 extreme/malformed UVs)
+    i32max = np.float64(2 ** 31 - 1)
+    x = np.clip(np.floor(u * res), -i32max - 1,
+                i32max).astype(np.int32) % res
+    y = np.clip(np.floor(v * res), -i32max - 1,
+                i32max).astype(np.int32) % res
     t = np.maximum(tex, 0).astype(np.int64)
     texel = textures[t, y, x].astype(np.float32) / np.float32(255.0)
     return texel[..., :3]
@@ -139,8 +145,14 @@ def render_oracle(host: HostScene, cam: Camera, *, width: int, height: int,
             cos_t = np.minimum(-(d_unit * n_face).sum(-1), 1.0)
             sin_t = np.sqrt(np.maximum(1.0 - cos_t * cos_t, 0.0))
             cannot = ratio * sin_t > 1.0
-            r0 = ((1.0 - ratio) / (1.0 + ratio)) ** 2
-            schlick = r0 + (1.0 - r0) * (1.0 - cos_t) ** 5
+            # multiply chains, not **: numpy pow may round differently
+            # from materials._schlick's m2*m2*m, and a 1-ulp flip at
+            # the schlick>u1 boundary decorrelates the whole path
+            r0 = (1.0 - ratio) / (1.0 + ratio)
+            r0 = r0 * r0
+            omc = 1.0 - cos_t
+            omc2 = omc * omc
+            schlick = r0 + (1.0 - r0) * (omc2 * omc2 * omc)
             do_refl = cannot | (schlick > u1)
             dir_diel = np.where(do_refl[:, None], _reflect(d_unit, n_face),
                                 _refract(d_unit, n_face, ratio))
@@ -158,6 +170,7 @@ def render_oracle(host: HostScene, cam: Camera, *, width: int, height: int,
             result[ai] = att[ai] * rad[ai]
             done[ai] = True
 
+            boost = None
             if rr and bounce >= RR_START:
                 new_att = att[hi] * atten
                 p = np.clip(new_att.max(axis=1), RR_FLOOR, 1.0)
@@ -169,13 +182,20 @@ def render_oracle(host: HostScene, cam: Camera, *, width: int, height: int,
                 result[ki] = att[ki] * rad[ki]
                 done[ki] = True
                 cont = cont & survive
-                # x * (1/p), matching trace.rr_survive's rounding
-                atten = atten * (1.0 / p)[:, None]
+                boost = (1.0 / p)[:, None]
 
             si = hi[cont]
             o[si] = o[si] + d[si] * th[cont]
             d[si] = new_dir[cont]
-            att[si] = att[si] * atten[cont]
+            if boost is None:
+                att[si] = att[si] * atten[cont]
+            else:
+                # (att*atten) * (1/p) in THIS order — trace.rr_survive
+                # computes new_att_full first, then scales; folding the
+                # boost into atten would round differently (f32 mult
+                # is non-associative) and flip the next bounce's kill
+                # boundary vs the renderers
+                att[si] = (att[si] * atten[cont]) * boost[cont]
 
         accum += result
 

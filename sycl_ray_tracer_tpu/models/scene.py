@@ -14,7 +14,6 @@ The binary LBVH (ops/lbvh.py) remains available for cross-validation.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np
@@ -125,6 +124,16 @@ class DeviceScene:
         return self.tri_n.shape[0]
 
 
+def _inverse_order(order: np.ndarray, n: int) -> np.ndarray:
+    """original tri id -> canonical Morton slot (inverse of `order`,
+    skipping the -1 padding slots). One definition for the treelet and
+    SAH-remap branches so the scatter idiom can't drift."""
+    inv = np.zeros((n,), np.int32)
+    valid = order >= 0
+    inv[order[valid]] = np.nonzero(valid)[0].astype(np.int32)
+    return inv
+
+
 def build_device_scene(host: HostScene,
                        leaf_size: int = DEFAULT_LEAF_SIZE,
                        dtype=jnp.float32,
@@ -178,7 +187,11 @@ def build_device_scene(host: HostScene,
     if (want_treelets
             and os.environ.get("SRT_FORCE_TREELETS") != "1"
             and os.environ.get("SRT_BF16_NODES") != "0"
-            and os.environ.get("SRT_NO_SAH") != "1"):
+            and os.environ.get("SRT_NO_SAH") != "1"
+            # v1/v2 cannot read bf16 tiles (use_bf16_nodes below), so
+            # preempting treelets for them would leave an over-VMEM
+            # f32 table and no treelets -> XLA fallback
+            and os.environ.get("SRT_KERNEL") not in ("v1", "v2")):
         # Past the f32 single-tree VMEM ceiling, a bf16-packed node
         # table (conservative directed rounding — results identical,
         # half the node bytes) doubles the ceiling to ~2.2M tris.
@@ -209,10 +222,7 @@ def build_device_scene(host: HostScene,
         else:
             sahb = None
     if want_treelets:
-        validm0 = order >= 0
-        inv_morton = np.zeros((host.num_triangles,), np.int32)
-        inv_morton[order[validm0]] = np.nonzero(validm0)[0].astype(
-            np.int32)
+        inv_morton = _inverse_order(order, host.num_triangles)
         tl = _tl.build_treelets(host.tri_v, inv_morton, leaf_size)
         has_tiles = False  # skip the (unused) single-tree SAH tiles
 
@@ -242,10 +252,7 @@ def build_device_scene(host: HostScene,
             cfmt = "bf16p"
         # SAH hit slots -> Morton slots (one [R] gather per traversal;
         # all shading arrays stay in the canonical Morton order)
-        inv_morton = np.full((host.num_triangles,), 0, np.int32)
-        validm0 = order >= 0
-        inv_morton[order[validm0]] = np.nonzero(validm0)[0].astype(
-            np.int32)
+        inv_morton = _inverse_order(order, host.num_triangles)
         remap = np.where(sahb.order >= 0,
                          inv_morton[np.maximum(sahb.order, 0)],
                          -1).astype(np.int32)

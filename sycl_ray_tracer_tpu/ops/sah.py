@@ -99,8 +99,10 @@ def build_sah(tri_v: np.ndarray, leaf_size: int = 8,
               spatial: Optional[bool] = None) -> Optional[SahBvh]:
     """Build the SAH BVH8 on host. Returns None when the native
     library is unavailable (callers fall back to the Morton heap).
-    `spatial` enables SBVH spatial splits (default: SRT_SBVH env,
-    on); silently degrades to object-only with a stale library."""
+    `spatial` enables SBVH spatial splits (default: the SRT_SBVH env
+    knob, which is OFF unless SRT_SBVH=1 — measured a net loss on the
+    benchmark scenes, see PLAN_TPU.md); silently degrades to
+    object-only with a stale library."""
     lib = native_loader._load_library()
     if lib is None or not _bind(lib):
         return None

@@ -31,8 +31,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from sycl_ray_tracer_tpu.models.camera import Camera, generate_rays
 from sycl_ray_tracer_tpu.models.megakernel import accumulate_megakernel
-from sycl_ray_tracer_tpu.models.wavefront import (_bounce,
-                                                  accumulate_wavefront)
+from sycl_ray_tracer_tpu.models.wavefront import _bounce
 from sycl_ray_tracer_tpu.ops.vec import linear_to_gamma
 
 
@@ -219,9 +218,10 @@ def render_sharded(scene, cam: Camera, *, width: int, height: int,
         return _render_sharded_wavefront_hostloop(
             scene, cam, width=width, height=height, spp=spp,
             max_depth=max_depth, seed=seed, mesh=mesh, rr=rr)
+    if renderer != "megakernel":
+        raise ValueError(f"unknown renderer {renderer!r}")
     spp_local = spp // dp
-    accumulate = (accumulate_wavefront if renderer == "wavefront"
-                  else accumulate_megakernel)
+    accumulate = accumulate_megakernel
 
     def shard_fn(scene, cam, lane):
         dpi = jax.lax.axis_index("dp")
