@@ -34,6 +34,44 @@ from sycl_ray_tracer_tpu.ops import rng as _rng
 from sycl_ray_tracer_tpu.ops.vec import V3, linear_to_gamma, splat
 
 
+def _resort(scene, st: PathState, key0, orig, force: bool = False):
+    """Coherence re-sort of a megakernel path state: live lanes sorted
+    by the wavefront's coherence key, dead lanes to the tail. A pure
+    permutation — every lane keeps its RNG stream (key re-gathered from
+    the never-permuted key0 by the riding `orig` id) and its arithmetic,
+    so images are bit-identical to the unsorted engine.
+
+    `force=True` guarantees a live-first permutation even when the
+    coherence key is disabled (SRT_SORT_KEY=none): the bounce-chunked
+    driver needs dead lanes at the tail before it can shrink the queue,
+    so it falls back to a stable argsort on the done flag. The payload
+    must NOT go through _compact's sort_key=None path there — that one
+    zero-fills dead rows, and a zeroed (orig, result) pair would later
+    scatter 0 into pixel-slot 0.
+    """
+    from sycl_ray_tracer_tpu.models.wavefront import (_compact,
+                                                      _coherence_key)
+    sk = _coherence_key(scene, st.o, st.d)
+    if sk is None:
+        if not force:
+            return st, jnp.take(key0, orig, axis=0), orig
+        sk = jnp.zeros_like(orig, dtype=jnp.uint32)
+    cols, _ = _compact(~st.done, [
+        st.o.x, st.o.y, st.o.z, st.d.x, st.d.y, st.d.z,
+        st.att.x, st.att.y, st.att.z,
+        st.rad.x, st.rad.y, st.rad.z,
+        st.result.x, st.result.y, st.result.z,
+        orig, st.done.astype(jnp.int32)], orig.shape[0], sort_key=sk)
+    st = PathState(
+        o=V3(cols[0], cols[1], cols[2]),
+        d=V3(cols[3], cols[4], cols[5]),
+        att=V3(cols[6], cols[7], cols[8]),
+        rad=V3(cols[9], cols[10], cols[11]),
+        result=V3(cols[12], cols[13], cols[14]),
+        done=cols[16] != 0)
+    return st, jnp.take(key0, cols[15], axis=0), cols[15]
+
+
 def _sample_one(scene, cam: Camera, px, py, lane, sample_idx, seed,
                 max_depth: int, rays, active=None, rr: bool = False,
                 sort_every: int = 0):
@@ -88,25 +126,7 @@ def _sample_one(scene, cam: Camera, px, py, lane, sample_idx, seed,
     key0 = key
 
     def resort(st, key, orig):
-        from sycl_ray_tracer_tpu.models.wavefront import (_compact,
-                                                          _coherence_key)
-        sk = _coherence_key(scene, st.o, st.d)
-        if sk is None:
-            return st, key, orig
-        cols, _ = _compact(~st.done, [
-            st.o.x, st.o.y, st.o.z, st.d.x, st.d.y, st.d.z,
-            st.att.x, st.att.y, st.att.z,
-            st.rad.x, st.rad.y, st.rad.z,
-            st.result.x, st.result.y, st.result.z,
-            orig, st.done.astype(jnp.int32)], r, sort_key=sk)
-        st = PathState(
-            o=V3(cols[0], cols[1], cols[2]),
-            d=V3(cols[3], cols[4], cols[5]),
-            att=V3(cols[6], cols[7], cols[8]),
-            rad=V3(cols[9], cols[10], cols[11]),
-            result=V3(cols[12], cols[13], cols[14]),
-            done=cols[16] != 0)
-        return st, jnp.take(key0, cols[15], axis=0), cols[15]
+        return _resort(scene, st, key0, orig)
 
     def cond(carry):
         i, st, _, _, _ = carry
@@ -212,6 +232,183 @@ def _wave_frame(scene, cam: Camera, seed, sample_offset, *, width: int,
     return acc.reshape(waves, n, 3).sum(axis=0), rays
 
 
+def _q_of(st: PathState, orig):
+    return (st.o.x, st.o.y, st.o.z, st.d.x, st.d.y, st.d.z,
+            st.att.x, st.att.y, st.att.z, st.rad.x, st.rad.y, st.rad.z,
+            st.result.x, st.result.y, st.result.z, orig, st.done)
+
+
+def _st_of(q):
+    return PathState(
+        o=V3(q[0], q[1], q[2]), d=V3(q[3], q[4], q[5]),
+        att=V3(q[6], q[7], q[8]), rad=V3(q[9], q[10], q[11]),
+        result=V3(q[12], q[13], q[14]), done=q[16]), q[15]
+
+
+def _chunk_loop(scene, st, orig, key, key0, rays, i_lo, i_hi, *,
+                rr: bool, sort_every: int):
+    """Bounce iterations [i_lo, i_hi) of the megakernel body, with the
+    re-sort AFTER each trace_step instead of before the next one — the
+    identical operation stream (…step_i, resort_i, tally_{i+1},
+    step_{i+1}…), just bracketed so every chunk ENDS live-first-sorted
+    and the host can shrink the queue to the live bucket. The final
+    iteration always sorts (force-compacted even under SRT_SORT_KEY=
+    none / SRT_MK_SORT=0) because the shrink depends on it."""
+    def cond(c):
+        i, st, _, _, _ = c
+        return (i < i_hi) & jnp.any(~st.done)
+
+    def body(c):
+        i, st, orig, key, rays = c
+        rays = rays.at[i].add(jnp.sum((~st.done).astype(jnp.int32)))
+        st = _trace.trace_step(scene, st, key, i + 2, rr=rr,
+                               bounce_idx=i)
+        last = i + 1 >= i_hi
+        do = last if not sort_every else ((i % sort_every == 0) | last)
+        st, key, orig = jax.lax.cond(
+            do,
+            lambda s, k, g: _resort(scene, s, key0, g, force=True),
+            lambda s, k, g: (s, k, g), st, key, orig)
+        return (i + 1, st, orig, key, rays)
+
+    _, st, orig, key, rays = jax.lax.while_loop(
+        cond, body, (i_lo, st, orig, key, rays))
+    return st, orig, rays
+
+
+def _scatter_results(res, st: PathState, orig):
+    """Persist per-lane results into the full-wave-width slots by the
+    riding global lane id. A SET, not an add: each lane owns one slot,
+    live lanes write the zeros already there, dead lanes idempotently
+    rewrite the value they carried — so the frame reduction
+    reshape(waves, n).sum(axis=0) is bit-identical to the unchunked
+    engine's, whose per-lane result array never moves."""
+    rx, ry, rz = res
+    return (rx.at[orig].set(st.result.x),
+            ry.at[orig].set(st.result.y),
+            rz.at[orig].set(st.result.z))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "width", "height", "max_depth", "waves", "rr", "sort_every"),
+    donate_argnums=())
+def _chunk_first(scene, cam: Camera, seed, sample_offset, i_hi, *,
+                 width: int, height: int, max_depth: int, waves: int,
+                 rr: bool, sort_every: int):
+    """Wave bring-up + bounces [0, i_hi): camera rays, per-lane keys,
+    the peeled primary-config bounce 0, then the chunk loop. Returns
+    (queue cols, result slots, tallies, key0, live count)."""
+    n = width * height
+    r = waves * n
+    lane = jnp.arange(r, dtype=jnp.uint32)
+    pix = lane % jnp.uint32(n)
+    px = (pix % jnp.uint32(width)).astype(jnp.int32)
+    py = (pix // jnp.uint32(width)).astype(jnp.int32)
+    sample_idx = (jnp.asarray(sample_offset, jnp.uint32)
+                  + lane // jnp.uint32(n))
+    key0 = _rng.make_key(
+        _rng.make_key(jnp.asarray(seed, jnp.uint32), sample_idx), pix)
+    o, d = generate_rays(cam, px, py, key0)
+    st = PathState(
+        o=o, d=d,
+        att=splat((1.0, 1.0, 1.0), (r,)),
+        rad=splat((0.0, 0.0, 0.0), (r,)),
+        result=splat((0.0, 0.0, 0.0), (r,)),
+        done=jnp.zeros((r,), bool))
+    orig = jnp.arange(r, dtype=jnp.int32)
+    rays = jnp.zeros((max_depth,), jnp.int32)
+
+    # peeled bounce 0: static primary-tuned kernel config
+    rays = rays.at[0].add(r)
+    st = _trace.trace_step(scene, st, key0, 2, rr=rr, bounce_idx=0,
+                           primary=True)
+    st, key, orig = _resort(scene, st, key0, orig, force=True)
+
+    st, orig, rays = _chunk_loop(scene, st, orig, key, key0, rays,
+                                 jnp.int32(1), i_hi, rr=rr,
+                                 sort_every=sort_every)
+    zero = jnp.zeros((r,), jnp.float32)
+    res = _scatter_results((zero, zero, zero), st, orig)
+    live = jnp.sum((~st.done).astype(jnp.int32))
+    return _q_of(st, orig), res, rays, key0, live
+
+
+@functools.partial(jax.jit, static_argnames=("rr", "sort_every"),
+                   donate_argnums=(1, 2, 3))
+def _chunk_next(scene, q, res, rays, key0, i_lo, i_hi, *, rr: bool,
+                sort_every: int):
+    """Bounces [i_lo, i_hi) on a shrunk queue (every input row is a
+    real lane: the inter-chunk slice keeps a live-first-sorted prefix
+    plus at most bucket-padding DEAD rows, whose done flag rides in the
+    queue). Queue, result slots, and tallies are donated."""
+    st, orig = _st_of(q)
+    key = jnp.take(key0, orig, axis=0)
+    st, orig, rays = _chunk_loop(scene, st, orig, key, key0, rays,
+                                 i_lo, i_hi, rr=rr,
+                                 sort_every=sort_every)
+    res = _scatter_results(res, st, orig)
+    live = jnp.sum((~st.done).astype(jnp.int32))
+    return _q_of(st, orig), res, rays, live
+
+
+def _render_megakernel_chunked(scene, cam: Camera, *, width: int,
+                               height: int, spp: int, max_depth: int,
+                               seed: int, rr: bool, chunk: int,
+                               sort_every: int, wave_rays: int,
+                               lane_bounces: int):
+    """Bounce-chunked megakernel driver (SRT_MK_CHUNK=k).
+
+    The fused engine's structural cost on TPU is that a traced
+    while_loop has static shapes: shade/sort rows stay at full wave
+    width while the live count decays, which is why the unchunked
+    matrix rows fall off with depth (512^2 sponza_proc s128: 2.81 at
+    d10 -> 0.91 at d50 while wavefront holds 3.5+). Chunking runs k
+    fused bounce iterations per device program and shrinks the queue
+    to the live-count bucket between programs — the TPU analog of the
+    reference SIMT megakernel's dead threads retiring inside one
+    kernel launch (render_megakernel.cpp:75-187). Estimator-exact:
+    images are bit-identical to the unchunked engine (permutations +
+    per-lane result slots; see _chunk_loop/_scatter_results), and the
+    host sees one scalar per chunk instead of wavefront's one per
+    bounce. Shorter programs also sit further under the runtime
+    watchdog that a deep unchunked wave can hit (CLAUDE.md).
+    """
+    from sycl_ray_tracer_tpu.models.wavefront import bucket_of
+
+    n = width * height
+    waves = max(1, min(spp, wave_rays // n,
+                       lane_bounces // max(n * min(chunk, max_depth),
+                                           1)))
+    accum = None
+    rays_tot = None
+    s = 0
+    while s < spp:
+        w = min(waves, spp - s)
+        r = w * n
+        q, res, rays, key0, live = _chunk_first(
+            scene, cam, seed, s, jnp.int32(min(chunk, max_depth)),
+            width=width, height=height, max_depth=max_depth, waves=w,
+            rr=rr, sort_every=sort_every)
+        count = int(live)
+        i0 = chunk
+        while i0 < max_depth and count > 0:
+            b = bucket_of(count, r)
+            if q[0].shape[0] != b:
+                q = tuple(a[:b] for a in q)
+            i_hi = min(i0 + chunk, max_depth)
+            q, res, rays, live = _chunk_next(
+                scene, q, res, rays, key0, jnp.int32(i0),
+                jnp.int32(i_hi), rr=rr, sort_every=sort_every)
+            count = int(live)
+            i0 = i_hi
+        acc = jnp.stack(res, axis=-1).reshape(w, n, 3).sum(axis=0)
+        accum = acc if accum is None else accum + acc
+        rays_tot = rays if rays_tot is None else rays_tot + rays
+        s += w
+    img = linear_to_gamma(accum * (1.0 / spp))
+    return img.reshape(height, width, 3), rays_tot
+
+
 def render_megakernel(scene, cam: Camera, *, width: int, height: int,
                       spp: int, max_depth: int, seed: int = 0,
                       rr: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -246,6 +443,17 @@ def render_megakernel(scene, cam: Camera, *, width: int, height: int,
     # on exactly this: minecraft_proc (4 treelets) at d30 hit the
     # watchdog at the 64M cap calibrated on single-tree scenes.
     lane_bounces //= max(1, getattr(scene, "tl_count", 0) or 1)
+    # Bounce-chunked mode (see _render_megakernel_chunked): k fused
+    # bounce iterations per program, queue shrunk to the live bucket
+    # between programs. Default on TPU; SRT_MK_CHUNK=0 disables.
+    default_chunk = 6 if jax.default_backend() == "tpu" else 0
+    chunk = int(os.environ.get("SRT_MK_CHUNK", str(default_chunk)))
+    if chunk > 0:
+        return _render_megakernel_chunked(
+            scene, cam, width=width, height=height, spp=spp,
+            max_depth=max_depth, seed=seed, rr=rr, chunk=chunk,
+            sort_every=sort_every, wave_rays=wave_rays,
+            lane_bounces=lane_bounces)
     waves = max(1, min(spp, wave_rays // n,
                        lane_bounces // max(n * max_depth, 1)))
     accum = None

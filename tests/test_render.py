@@ -206,6 +206,48 @@ def test_megakernel_sort_bit_identity(monkeypatch):
     assert (np.asarray(base_rays) == np.asarray(srt3_rays)).all()
 
 
+def test_megakernel_chunked_bit_identity(monkeypatch):
+    """SRT_MK_CHUNK=k (bounce-chunked megakernel, TPU default since
+    round 3): k fused bounce iterations per device program with the
+    queue shrunk to the live-count bucket between programs — the
+    engine's answer to its static-shape depth decay (megakernel.py
+    _render_megakernel_chunked). Estimator-exactness claim: chunking is
+    only (a) the same permutation stream as the in-program re-sort,
+    re-bracketed after each step, and (b) per-lane result slots
+    scatter-SET by the riding global id — so images AND per-bounce ray
+    tallies must be BIT-identical to the unchunked engine, at every
+    chunk size, sorted or not. The shrink path must actually run (a
+    no-shrink pass would vacuously pass the equality)."""
+    from sycl_ray_tracer_tpu.models import megakernel as mk
+
+    glb = scenes.cube_scene_glb()
+    scene, host, cam = scenes.load_pair(glb, 128, 96)
+    # 8 spp x 12288 px = 98304-lane wave, above the 64K bucket floor so
+    # inter-chunk shrinks are reachable (bucket_of floor_bits=16)
+    kw = dict(width=128, height=96, spp=8, max_depth=9, seed=5)
+    monkeypatch.delenv("SRT_MK_SORT", raising=False)
+    monkeypatch.delenv("SRT_MK_CHUNK", raising=False)
+    base, base_rays = render_megakernel(scene, cam, **kw)
+
+    widths = []
+    real_next = mk._chunk_next
+
+    def spy(scene_, q, *a, **k):
+        widths.append(q[0].shape[0])
+        return real_next(scene_, q, *a, **k)
+
+    monkeypatch.setattr(mk, "_chunk_next", spy)
+    monkeypatch.setenv("SRT_MK_SORT", "1")
+    for chunk, sort in ((3, "1"), (2, "0"), (20, "1")):
+        monkeypatch.setenv("SRT_MK_CHUNK", str(chunk))
+        monkeypatch.setenv("SRT_MK_SORT", sort)
+        img, rays = render_megakernel(scene, cam, **kw)
+        assert (np.asarray(base) == np.asarray(img)).all(), (chunk, sort)
+        assert (np.asarray(base_rays) == np.asarray(rays)).all()
+    assert widths and min(widths) < 8 * 128 * 96, \
+        "inter-chunk queue shrink never exercised"
+
+
 def test_f16_queue_payload(monkeypatch):
     """SRT_F16_QUEUE carries dir/att/radiance as packed halves through
     the wavefront queue — the reference's fp16 RayData quirk
