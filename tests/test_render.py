@@ -248,6 +248,42 @@ def test_megakernel_chunked_bit_identity(monkeypatch):
         "inter-chunk queue shrink never exercised"
 
 
+def test_megakernel_chunked_treelet_scene(monkeypatch):
+    """Chunked megakernel on a TREELET scene (tl_count > 1): the sweep
+    measures chunked minecraft_proc rows on TPU, where a lane-bounce
+    costs ~tl_count kernel passes and the driver divides the watchdog
+    cap accordingly (megakernel.py lane_bounces //= tl_count) — this
+    guards the driver interplay (wave splitting + the treelet scene
+    pytree riding _chunk_first/_chunk_next as a donated static arg)
+    with the same bit-identity claim as the single-tree test."""
+    from sycl_ray_tracer_tpu.models.scene import build_device_scene
+    from sycl_ray_tracer_tpu.utils.gltf import load_glb
+    from sycl_ray_tracer_tpu.utils.procgen import sponza_like_glb
+
+    monkeypatch.setenv("SRT_TREELET_THRESHOLD_TRIS", "1000")
+    monkeypatch.setenv("SRT_TREELET_MAX_TRIS", "4096")
+    host = load_glb(sponza_like_glb(scale=1))
+    scene = build_device_scene(host)
+    assert scene.tl_count >= 4
+    from sycl_ray_tracer_tpu.models.camera import make_camera
+    cam = make_camera(64, 64, host.camera_position,
+                      host.camera_direction, host.camera_focal_length)
+    kw = dict(width=64, height=64, spp=2, max_depth=6, seed=7)
+    monkeypatch.delenv("SRT_MK_SORT", raising=False)
+    monkeypatch.delenv("SRT_MK_CHUNK", raising=False)
+    base, base_rays = render_megakernel(scene, cam, **kw)
+    # force wave splitting through the treelet-scaled lane-bounce cap:
+    # 8192-lane waves, cap 8192*2*tl_count lane-bounces -> ~3 bounces
+    # per wave budget, multiple chunk programs per wave
+    monkeypatch.setenv("SRT_MK_LANE_BOUNCES",
+                       str(64 * 64 * 2 * 3 * int(scene.tl_count)))
+    monkeypatch.setenv("SRT_MK_CHUNK", "2")
+    monkeypatch.setenv("SRT_MK_SORT", "1")
+    img, rays = render_megakernel(scene, cam, **kw)
+    assert (np.asarray(base) == np.asarray(img)).all()
+    assert (np.asarray(base_rays) == np.asarray(rays)).all()
+
+
 def test_f16_queue_payload(monkeypatch):
     """SRT_F16_QUEUE carries dir/att/radiance as packed halves through
     the wavefront queue — the reference's fp16 RayData quirk
