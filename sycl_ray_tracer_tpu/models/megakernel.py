@@ -143,6 +143,11 @@ def _sample_one(scene, cam: Camera, px, py, lane, sample_idx, seed,
                                rr=rr, bounce_idx=i)
         return (i + 1, st, rays, key, orig)
 
+    # max_depth=0: the loop body can't even TRACE (rays.at[i] on a
+    # size-0 tally array), and nothing would run — return the initial
+    # black state, matching the reference's never-entered bounce loop.
+    if max_depth < 1:
+        return state.result, rays
     _, state, rays, key, orig = jax.lax.while_loop(
         cond, body, (jnp.int32(1), state, rays, key, orig))
     if sort_every:
@@ -246,14 +251,17 @@ def _st_of(q):
 
 
 def _chunk_loop(scene, st, orig, key, key0, rays, i_lo, i_hi, *,
-                rr: bool, sort_every: int):
+                rr: bool, sort_every: int, final: bool = False):
     """Bounce iterations [i_lo, i_hi) of the megakernel body, with the
     re-sort AFTER each trace_step instead of before the next one — the
     identical operation stream (…step_i, resort_i, tally_{i+1},
     step_{i+1}…), just bracketed so every chunk ENDS live-first-sorted
     and the host can shrink the queue to the live bucket. The final
     iteration always sorts (force-compacted even under SRT_SORT_KEY=
-    none / SRT_MK_SORT=0) because the shrink depends on it."""
+    none / SRT_MK_SORT=0) because the shrink depends on it — except in
+    the render's FINAL chunk (final=True, static), where no shrink or
+    consumer follows and the forced sort would be a wasted argsort +
+    packed take over the whole bucket."""
     def cond(c):
         i, st, _, _, _ = c
         return (i < i_hi) & jnp.any(~st.done)
@@ -263,7 +271,7 @@ def _chunk_loop(scene, st, orig, key, key0, rays, i_lo, i_hi, *,
         rays = rays.at[i].add(jnp.sum((~st.done).astype(jnp.int32)))
         st = _trace.trace_step(scene, st, key, i + 2, rr=rr,
                                bounce_idx=i)
-        last = i + 1 >= i_hi
+        last = jnp.bool_(False) if final else (i + 1 >= i_hi)
         do = last if not sort_every else ((i % sort_every == 0) | last)
         st, key, orig = jax.lax.cond(
             do,
@@ -290,11 +298,12 @@ def _scatter_results(res, st: PathState, orig):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "width", "height", "max_depth", "waves", "rr", "sort_every"),
+    "width", "height", "max_depth", "waves", "rr", "sort_every",
+    "final"),
     donate_argnums=())
 def _chunk_first(scene, cam: Camera, seed, sample_offset, i_hi, *,
                  width: int, height: int, max_depth: int, waves: int,
-                 rr: bool, sort_every: int):
+                 rr: bool, sort_every: int, final: bool = False):
     """Wave bring-up + bounces [0, i_hi): camera rays, per-lane keys,
     the peeled primary-config bounce 0, then the chunk loop. Returns
     (queue cols, result slots, tallies, key0, live count)."""
@@ -322,21 +331,27 @@ def _chunk_first(scene, cam: Camera, seed, sample_offset, i_hi, *,
     rays = rays.at[0].add(r)
     st = _trace.trace_step(scene, st, key0, 2, rr=rr, bounce_idx=0,
                            primary=True)
-    st, key, orig = _resort(scene, st, key0, orig, force=True)
+    key = key0
+    if sort_every or not final:
+        # the i=1 cadence sort (any sort_every >= 1 sorts pre-step 1);
+        # under sort_every=0 it is only the shrink-enabling force, so
+        # a final (single-chunk) render skips it
+        st, key, orig = _resort(scene, st, key0, orig, force=True)
 
     st, orig, rays = _chunk_loop(scene, st, orig, key, key0, rays,
                                  jnp.int32(1), i_hi, rr=rr,
-                                 sort_every=sort_every)
+                                 sort_every=sort_every, final=final)
     zero = jnp.zeros((r,), jnp.float32)
     res = _scatter_results((zero, zero, zero), st, orig)
     live = jnp.sum((~st.done).astype(jnp.int32))
     return _q_of(st, orig), res, rays, key0, live
 
 
-@functools.partial(jax.jit, static_argnames=("rr", "sort_every"),
+@functools.partial(jax.jit, static_argnames=("rr", "sort_every",
+                                             "final"),
                    donate_argnums=(1, 2, 3))
 def _chunk_next(scene, q, res, rays, key0, i_lo, i_hi, *, rr: bool,
-                sort_every: int):
+                sort_every: int, final: bool = False):
     """Bounces [i_lo, i_hi) on a shrunk queue (every input row is a
     real lane: the inter-chunk slice keeps a live-first-sorted prefix
     plus at most bucket-padding DEAD rows, whose done flag rides in the
@@ -345,18 +360,16 @@ def _chunk_next(scene, q, res, rays, key0, i_lo, i_hi, *, rr: bool,
     key = jnp.take(key0, orig, axis=0)
     st, orig, rays = _chunk_loop(scene, st, orig, key, key0, rays,
                                  i_lo, i_hi, rr=rr,
-                                 sort_every=sort_every)
+                                 sort_every=sort_every, final=final)
     res = _scatter_results(res, st, orig)
     live = jnp.sum((~st.done).astype(jnp.int32))
     return _q_of(st, orig), res, rays, live
 
 
-def _render_megakernel_chunked(scene, cam: Camera, *, width: int,
-                               height: int, spp: int, max_depth: int,
-                               seed: int, rr: bool, chunk: int,
-                               sort_every: int, wave_rays: int,
-                               lane_bounces: int):
-    """Bounce-chunked megakernel driver (SRT_MK_CHUNK=k).
+def _chunked_wave(scene, cam: Camera, seed, s, w, *, width: int,
+                  height: int, max_depth: int, rr: bool, chunk: int,
+                  sort_every: int):
+    """One wave of the bounce-chunked megakernel (SRT_MK_CHUNK=k).
 
     The fused engine's structural cost on TPU is that a traced
     while_loop has static shapes: shade/sort rows stay at full wave
@@ -372,41 +385,32 @@ def _render_megakernel_chunked(scene, cam: Camera, *, width: int,
     host sees one scalar per chunk instead of wavefront's one per
     bounce. Shorter programs also sit further under the runtime
     watchdog that a deep unchunked wave can hit (CLAUDE.md).
-    """
+
+    Returns (linear accumulator [n, 3] summed over the wave's samples,
+    per-bounce ray tallies)."""
     from sycl_ray_tracer_tpu.models.wavefront import bucket_of
 
     n = width * height
-    waves = max(1, min(spp, wave_rays // n,
-                       lane_bounces // max(n * min(chunk, max_depth),
-                                           1)))
-    accum = None
-    rays_tot = None
-    s = 0
-    while s < spp:
-        w = min(waves, spp - s)
-        r = w * n
-        q, res, rays, key0, live = _chunk_first(
-            scene, cam, seed, s, jnp.int32(min(chunk, max_depth)),
-            width=width, height=height, max_depth=max_depth, waves=w,
-            rr=rr, sort_every=sort_every)
+    r = w * n
+    i_hi0 = min(chunk, max_depth)
+    q, res, rays, key0, live = _chunk_first(
+        scene, cam, seed, s, jnp.int32(i_hi0),
+        width=width, height=height, max_depth=max_depth, waves=w,
+        rr=rr, sort_every=sort_every, final=(i_hi0 >= max_depth))
+    count = int(live)
+    i0 = chunk
+    while i0 < max_depth and count > 0:
+        b = bucket_of(count, r)
+        if q[0].shape[0] != b:
+            q = tuple(a[:b] for a in q)
+        i_hi = min(i0 + chunk, max_depth)
+        q, res, rays, live = _chunk_next(
+            scene, q, res, rays, key0, jnp.int32(i0),
+            jnp.int32(i_hi), rr=rr, sort_every=sort_every,
+            final=(i_hi >= max_depth))
         count = int(live)
-        i0 = chunk
-        while i0 < max_depth and count > 0:
-            b = bucket_of(count, r)
-            if q[0].shape[0] != b:
-                q = tuple(a[:b] for a in q)
-            i_hi = min(i0 + chunk, max_depth)
-            q, res, rays, live = _chunk_next(
-                scene, q, res, rays, key0, jnp.int32(i0),
-                jnp.int32(i_hi), rr=rr, sort_every=sort_every)
-            count = int(live)
-            i0 = i_hi
-        acc = jnp.stack(res, axis=-1).reshape(w, n, 3).sum(axis=0)
-        accum = acc if accum is None else accum + acc
-        rays_tot = rays if rays_tot is None else rays_tot + rays
-        s += w
-    img = linear_to_gamma(accum * (1.0 / spp))
-    return img.reshape(height, width, 3), rays_tot
+        i0 = i_hi
+    return jnp.stack(res, axis=-1).reshape(w, n, 3).sum(axis=0), rays
 
 
 def render_megakernel(scene, cam: Camera, *, width: int, height: int,
@@ -443,27 +447,37 @@ def render_megakernel(scene, cam: Camera, *, width: int, height: int,
     # on exactly this: minecraft_proc (4 treelets) at d30 hit the
     # watchdog at the 64M cap calibrated on single-tree scenes.
     lane_bounces //= max(1, getattr(scene, "tl_count", 0) or 1)
-    # Bounce-chunked mode (see _render_megakernel_chunked): k fused
+    # Bounce-chunked mode (see _chunked_wave): k fused
     # bounce iterations per program, queue shrunk to the live bucket
     # between programs. Default on TPU; SRT_MK_CHUNK=0 disables.
     default_chunk = 6 if jax.default_backend() == "tpu" else 0
     chunk = int(os.environ.get("SRT_MK_CHUNK", str(default_chunk)))
-    if chunk > 0:
-        return _render_megakernel_chunked(
-            scene, cam, width=width, height=height, spp=spp,
-            max_depth=max_depth, seed=seed, rr=rr, chunk=chunk,
-            sort_every=sort_every, wave_rays=wave_rays,
-            lane_bounces=lane_bounces)
+    # max_depth=0 renders black with zero rays (the reference's loop
+    # never runs) — only the plain engine expresses that, so the
+    # chunked path requires at least one bounce.
+    if chunk > 0 and max_depth >= 1:
+        bounces_per_program = min(chunk, max_depth)
+
+        def per_wave(s, w):
+            return _chunked_wave(scene, cam, seed, s, w, width=width,
+                                 height=height, max_depth=max_depth,
+                                 rr=rr, chunk=chunk,
+                                 sort_every=sort_every)
+    else:
+        bounces_per_program = max_depth
+
+        def per_wave(s, w):
+            return _wave_frame(scene, cam, seed, s, width=width,
+                               height=height, max_depth=max_depth,
+                               waves=w, rr=rr, sort_every=sort_every)
     waves = max(1, min(spp, wave_rays // n,
-                       lane_bounces // max(n * max_depth, 1)))
+                       lane_bounces // max(n * bounces_per_program, 1)))
     accum = None
     rays = None
     s = 0
     while s < spp:
         w = min(waves, spp - s)
-        a, r = _wave_frame(scene, cam, seed, s, width=width,
-                           height=height, max_depth=max_depth,
-                           waves=w, rr=rr, sort_every=sort_every)
+        a, r = per_wave(s, w)
         accum = a if accum is None else accum + a
         rays = r if rays is None else rays + r
         s += w

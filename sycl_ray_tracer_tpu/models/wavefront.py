@@ -129,7 +129,18 @@ def _compact(alive: jnp.ndarray, arrays, capacity: int,
         dst = jnp.where(alive, pos, capacity)
         packed = jnp.zeros_like(packed).at[dst].set(packed, mode="drop")
     else:
-        key = jnp.where(alive, sort_key, jnp.uint32(0xFFFFFFFF))
+        # Kept lanes are clamped one below the dead sentinel: a raw
+        # coherence key CAN reach 0xFFFFFFFF (cell_oct_morton at the
+        # scene_hi corner cell with an all-negative direction), and a
+        # kept lane tying with dead pad could sort past the bucket the
+        # host shrinks to next — silently dropping a live path. The
+        # clamp only reorders lanes within one key value (coherence
+        # noise), never membership. (The 3-way deferred key is safe by
+        # construction — survivors top-bit-clear, terminated
+        # 0x80000000|pix — so this is for the raw-key paths: the
+        # megakernel re-sort and the sharded bounce.)
+        key = jnp.where(alive, jnp.minimum(sort_key, jnp.uint32(0xFFFFFFFE)),
+                        jnp.uint32(0xFFFFFFFF))
         perm = jnp.argsort(key)
         packed = jnp.take(packed, perm, axis=0)
 

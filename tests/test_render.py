@@ -194,7 +194,10 @@ def test_megakernel_sort_bit_identity(monkeypatch):
     glb = scenes.cube_scene_glb()
     scene, host, cam = scenes.load_pair(glb, 64, 64)
     kw = dict(width=64, height=64, spp=4, max_depth=8, seed=3)
-    monkeypatch.delenv("SRT_MK_SORT", raising=False)
+    # pin both knobs (TPU defaults are sort=1/chunk=6; delenv would
+    # make the baseline sorted there and the comparison vacuous)
+    monkeypatch.setenv("SRT_MK_CHUNK", "0")
+    monkeypatch.setenv("SRT_MK_SORT", "0")
     base, base_rays = render_megakernel(scene, cam, **kw)
     monkeypatch.setenv("SRT_MK_SORT", "1")
     srt, srt_rays = render_megakernel(scene, cam, **kw)
@@ -211,7 +214,7 @@ def test_megakernel_chunked_bit_identity(monkeypatch):
     round 3): k fused bounce iterations per device program with the
     queue shrunk to the live-count bucket between programs — the
     engine's answer to its static-shape depth decay (megakernel.py
-    _render_megakernel_chunked). Estimator-exactness claim: chunking is
+    _chunked_wave). Estimator-exactness claim: chunking is
     only (a) the same permutation stream as the in-program re-sort,
     re-bracketed after each step, and (b) per-lane result slots
     scatter-SET by the riding global id — so images AND per-bounce ray
@@ -225,8 +228,11 @@ def test_megakernel_chunked_bit_identity(monkeypatch):
     # 8 spp x 12288 px = 98304-lane wave, above the 64K bucket floor so
     # inter-chunk shrinks are reachable (bucket_of floor_bits=16)
     kw = dict(width=128, height=96, spp=8, max_depth=9, seed=5)
-    monkeypatch.delenv("SRT_MK_SORT", raising=False)
-    monkeypatch.delenv("SRT_MK_CHUNK", raising=False)
+    # pin the baseline explicitly: delenv would resolve to the
+    # backend-dependent defaults (chunk=6/sort=1 on TPU), making the
+    # identity assertion chunked-vs-chunked there
+    monkeypatch.setenv("SRT_MK_SORT", "0")
+    monkeypatch.setenv("SRT_MK_CHUNK", "0")
     base, base_rays = render_megakernel(scene, cam, **kw)
 
     widths = []
@@ -246,6 +252,50 @@ def test_megakernel_chunked_bit_identity(monkeypatch):
         assert (np.asarray(base_rays) == np.asarray(rays)).all()
     assert widths and min(widths) < 8 * 128 * 96, \
         "inter-chunk queue shrink never exercised"
+
+
+def test_megakernel_chunked_sentinel_key_and_depth0(monkeypatch):
+    """Two chunked-engine edges from the round-3 review:
+
+    (a) a live lane whose raw coherence key equals the dead-lane
+    sentinel 0xFFFFFFFF (reachable under cell_oct_morton at the
+    scene_hi corner) must never be dropped by the inter-chunk bucket
+    shrink — _compact clamps kept keys to 0xFFFFFFFE. Forced here by
+    monkeypatching the key to all-ones for every lane.
+
+    (b) max_depth=0 must render black with zero rays through the
+    chunked entry point too (the reference's bounce loop never runs);
+    the driver routes d0 to the plain engine."""
+    import jax.numpy as jnp
+
+    from sycl_ray_tracer_tpu.models import wavefront as wf
+
+    glb = scenes.cube_scene_glb()
+    scene, host, cam = scenes.load_pair(glb, 128, 96)
+    kw = dict(width=128, height=96, spp=8, max_depth=9, seed=5)
+    monkeypatch.setenv("SRT_MK_SORT", "0")
+    monkeypatch.setenv("SRT_MK_CHUNK", "0")
+    base, base_rays = render_megakernel(scene, cam, **kw)
+
+    real_key = wf._coherence_key
+
+    def all_ones_key(scene_, o, d, hit_tri=None):
+        k = real_key(scene_, o, d, hit_tri=hit_tri)
+        return None if k is None else jnp.full_like(k, 0xFFFFFFFF)
+
+    monkeypatch.setattr(wf, "_coherence_key", all_ones_key)
+    monkeypatch.setenv("SRT_MK_CHUNK", "3")
+    img, rays = render_megakernel(scene, cam, **kw)
+    assert (np.asarray(base) == np.asarray(img)).all(), \
+        "sentinel-key live lane lost through the inter-chunk shrink"
+    assert (np.asarray(base_rays) == np.asarray(rays)).all()
+
+    monkeypatch.setattr(wf, "_coherence_key", real_key)
+    kw0 = dict(kw, max_depth=0)
+    monkeypatch.setenv("SRT_MK_CHUNK", "6")
+    img0, rays0 = render_megakernel(scene, cam, **kw0)
+    assert (np.asarray(img0) == 0).all()
+    assert np.asarray(rays0).size == 0 or (np.asarray(rays0) == 0).all()
 
 
 def test_megakernel_chunked_treelet_scene(monkeypatch):
@@ -269,14 +319,14 @@ def test_megakernel_chunked_treelet_scene(monkeypatch):
     cam = make_camera(64, 64, host.camera_position,
                       host.camera_direction, host.camera_focal_length)
     kw = dict(width=64, height=64, spp=2, max_depth=6, seed=7)
-    monkeypatch.delenv("SRT_MK_SORT", raising=False)
-    monkeypatch.delenv("SRT_MK_CHUNK", raising=False)
+    monkeypatch.setenv("SRT_MK_SORT", "0")
+    monkeypatch.setenv("SRT_MK_CHUNK", "0")
     base, base_rays = render_megakernel(scene, cam, **kw)
     # force wave splitting through the treelet-scaled lane-bounce cap:
-    # 8192-lane waves, cap 8192*2*tl_count lane-bounces -> ~3 bounces
-    # per wave budget, multiple chunk programs per wave
+    # after the driver's //= tl_count this allows 4096*2 = one
+    # 1-sample wave per chunk pair, so spp=2 must split into 2 waves
     monkeypatch.setenv("SRT_MK_LANE_BOUNCES",
-                       str(64 * 64 * 2 * 3 * int(scene.tl_count)))
+                       str(64 * 64 * 2 * int(scene.tl_count)))
     monkeypatch.setenv("SRT_MK_CHUNK", "2")
     monkeypatch.setenv("SRT_MK_SORT", "1")
     img, rays = render_megakernel(scene, cam, **kw)
