@@ -158,6 +158,9 @@ struct Builder {
   const float* tv = nullptr;  // [n, 3, 3]
   int64_t n = 0;
   int32_t k = 8;              // leaf capacity
+  int32_t w = 8;              // wide-node fanout (8 in production;
+                              // parameterized for tree-shape probes,
+                              // tools/probe_tree_width.py)
   float spatial_alpha = 0.0f;  // 0 = object splits only
   int64_t ref_budget = 0;      // extra refs spatial splits may mint
   float root_area = 1.0f;
@@ -391,38 +394,38 @@ struct Builder {
   // areas over all partitions of the binary tree into fragments with
   // <= 8 exits. Exits become the wide node's children (leaf exits =
   // leaf slots; internal exits = new wide-node roots).
-  std::vector<float> gtab;      // [m, 8]: g(n, i) at [n*8 + i-1]
+  std::vector<float> gtab;      // [m, w]: g(n, i) at [n*w + i-1]
   std::vector<float> fcost;     // [m]: f(n)
   std::vector<uint8_t> fsplit;  // [m]: f(n)'s left-budget choice
-  std::vector<uint8_t> gsplit;  // [m, 8]: 0 = SELF (n is an exit),
+  std::vector<uint8_t> gsplit;  // [m, w]: 0 = SELF (n is an exit),
                                 //         else left-budget i1
 
   void dp_collapse_tables() {
     size_t m = bnodes.size();
-    gtab.assign(m * 8, 0.0f);
+    gtab.assign(m * w, 0.0f);
     fcost.assign(m, 0.0f);
     fsplit.assign(m, 1);
-    gsplit.assign(m * 8, 0);
+    gsplit.assign(m * w, 0);
     // build_binary pushes a node before recursing into its children,
     // so descending index order visits children before parents
     for (size_t n = m; n-- > 0;) {
       const BNode& nd = bnodes[n];
       if (nd.count > 0) continue;  // binary leaf: g = 0 everywhere
-      const float* gl = &gtab[(size_t)nd.left * 8];
-      const float* gr = &gtab[(size_t)nd.right * 8];
+      const float* gl = &gtab[(size_t)nd.left * w];
+      const float* gr = &gtab[(size_t)nd.right * w];
       float best = kInf;
       int bi = 1;
-      for (int i1 = 1; i1 <= 7; i1++) {
-        float c = gl[i1 - 1] + gr[8 - i1 - 1];
+      for (int i1 = 1; i1 <= w - 1; i1++) {
+        float c = gl[i1 - 1] + gr[w - i1 - 1];
         if (c < best) { best = c; bi = i1; }
       }
       fcost[n] = nd.box.area() + best;
       fsplit[n] = (uint8_t)bi;
-      float* gn = &gtab[n * 8];
-      uint8_t* gs = &gsplit[n * 8];
+      float* gn = &gtab[n * w];
+      uint8_t* gs = &gsplit[n * w];
       gn[0] = fcost[n];
       gs[0] = 0;  // at budget 1, n must itself be the exit
-      for (int i = 2; i <= 8; i++) {
+      for (int i = 2; i <= w; i++) {
         best = fcost[n];
         int choice = 0;  // SELF
         for (int i1 = 1; i1 <= i - 1; i1++) {
@@ -440,7 +443,7 @@ struct Builder {
       out.push_back(n);
       return;
     }
-    uint8_t c = gsplit[(size_t)n * 8 + budget - 1];
+    uint8_t c = gsplit[(size_t)n * w + budget - 1];
     if (c == 0) {  // SELF: n becomes a wide-node root
       out.push_back(n);
       return;
@@ -458,7 +461,7 @@ struct Builder {
     }
     int i1 = fsplit[b];
     exits_of(bnodes[b].left, i1, out);
-    exits_of(bnodes[b].right, 8 - i1, out);
+    exits_of(bnodes[b].right, w - i1, out);
   }
 
   void collapse() {
@@ -476,14 +479,14 @@ struct Builder {
       std::vector<int32_t> kids;
       gather8(it.bnode, kids);
       size_t row_base = children.size();
-      children.resize(row_base + 48, kInf);
+      children.resize(row_base + 6 * (size_t)w, kInf);
       size_t id_base = child_ids.size();
-      child_ids.resize(id_base + 8, 0);
+      child_ids.resize(id_base + w, 0);
       for (int j = 0; j < (int)kids.size(); j++) {
         const BNode& nd = bnodes[kids[j]];
         for (int c = 0; c < 3; c++) {
-          children[row_base + c * 8 + j] = nd.box.lo[c];
-          children[row_base + (3 + c) * 8 + j] = nd.box.hi[c];
+          children[row_base + c * w + j] = nd.box.lo[c];
+          children[row_base + (3 + c) * w + j] = nd.box.hi[c];
         }
         if (nd.count > 0) {
           // leaf child: final id = NI + leaf_row, fixed up once NI is
@@ -509,8 +512,8 @@ struct Builder {
 
   void run() {
     if (n == 0) {
-      children.assign(48, kInf);   // no child box is ever hit
-      child_ids.assign(8, 0);
+      children.assign(6 * (size_t)w, kInf);  // no child box ever hit
+      child_ids.assign(w, 0);
       child_ids[0] = 1;            // = NI + leaf 0 (never visited)
       leaf_order.assign(k, -1);
       depth = 1;
@@ -570,8 +573,24 @@ int64_t srt_bvh_nrefs(void* h) {
 }
 
 int64_t srt_bvh_ni(void* h) {
-  return (int64_t)(((Builder*)h)->child_ids.size() / 8);
+  auto* b = (Builder*)h;
+  return (int64_t)(b->child_ids.size() / b->w);
 }
+
+// Probe-only variant (tools/probe_tree_width.py): wide-node fanout as
+// a parameter. Production stays 8-wide (srt_bvh_build/build2).
+void* srt_bvh_build3(const float* tri_v, int64_t n, int32_t leaf_size,
+                     int32_t width) {
+  auto* b = new Builder();
+  b->tv = tri_v;
+  b->n = n;
+  b->k = leaf_size;
+  b->w = width < 2 ? 2 : (width > 64 ? 64 : width);
+  b->run();
+  return b;
+}
+
+int32_t srt_bvh_width(void* h) { return ((Builder*)h)->w; }
 
 int64_t srt_bvh_nleaves(void* h) {
   auto* b = (Builder*)h;

@@ -47,8 +47,8 @@ def _sbvh_default() -> bool:
 
 
 class SahBvh(NamedTuple):
-    children: np.ndarray   # [NI, 48] component-major child boxes
-    child_ids: np.ndarray  # [NI, 8] int32 (leaf child = NI + leaf_row)
+    children: np.ndarray   # [NI, 6W] component-major child boxes
+    child_ids: np.ndarray  # [NI, W] int32 (leaf child = NI + leaf_row)
     order: np.ndarray      # [L*K] int32 original tri ids (-1 pad);
                            # ids may REPEAT when spatial splits fired
     num_internal: int
@@ -56,6 +56,7 @@ class SahBvh(NamedTuple):
     depth: int
     leaf_size: int
     num_refs: int = 0      # leaf references (> num tris after splits)
+    width: int = 8         # wide-node fanout (8 in production)
 
 
 def _bind(lib):
@@ -86,6 +87,14 @@ def _bind(lib):
         lib._srt_bvh_spatial = True
     except AttributeError:
         lib._srt_bvh_spatial = False  # pre-SBVH library: object only
+    try:
+        lib.srt_bvh_build3.restype = ctypes.c_void_p
+        lib.srt_bvh_build3.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32]
+        lib._srt_bvh_width = True
+    except AttributeError:
+        lib._srt_bvh_width = False  # pre-width library: 8-wide only
     lib._srt_bvh_bound = True
     return True
 
@@ -96,21 +105,32 @@ def available() -> bool:
 
 
 def build_sah(tri_v: np.ndarray, leaf_size: int = 8,
-              spatial: Optional[bool] = None) -> Optional[SahBvh]:
-    """Build the SAH BVH8 on host. Returns None when the native
+              spatial: Optional[bool] = None,
+              width: int = 8) -> Optional[SahBvh]:
+    """Build the SAH BVH on host. Returns None when the native
     library is unavailable (callers fall back to the Morton heap).
     `spatial` enables SBVH spatial splits (default: the SRT_SBVH env
     knob, which is OFF unless SRT_SBVH=1 — measured a net loss on the
     benchmark scenes, see PLAN_TPU.md); silently degrades to
-    object-only with a stale library."""
+    object-only with a stale library. `width` != 8 selects the
+    probe-only wide-node fanout (tools/probe_tree_width.py); it is
+    mutually exclusive with `spatial` and requires a fresh library."""
     lib = native_loader._load_library()
     if lib is None or not _bind(lib):
         return None
     if spatial is None:
-        spatial = _sbvh_default()
+        spatial = _sbvh_default() and width == 8
     tri_v = np.ascontiguousarray(tri_v, np.float32)
     n = tri_v.shape[0]
-    if spatial and getattr(lib, "_srt_bvh_spatial", False):
+    if width != 8:
+        if spatial:
+            raise ValueError("width != 8 is object-splits only")
+        if not getattr(lib, "_srt_bvh_width", False):
+            return None  # stale library: no width entry point
+        h = lib.srt_bvh_build3(
+            tri_v.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n,
+            leaf_size, width)
+    elif spatial and getattr(lib, "_srt_bvh_spatial", False):
         h = lib.srt_bvh_build2(
             tri_v.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n,
             leaf_size, _SBVH_ALPHA, _SBVH_FACTOR)
@@ -124,8 +144,8 @@ def build_sah(tri_v: np.ndarray, leaf_size: int = 8,
         depth = lib.srt_bvh_depth(h)
         nrefs = (lib.srt_bvh_nrefs(h)
                  if getattr(lib, "_srt_bvh_spatial", False) else n)
-        children = np.empty((ni, 48), np.float32)
-        ids = np.empty((ni, 8), np.int32)
+        children = np.empty((ni, 6 * width), np.float32)
+        ids = np.empty((ni, width), np.int32)
         order = np.empty((nl * leaf_size,), np.int32)
         lib.srt_bvh_copy(
             h, children.ctypes.data_as(ctypes.c_void_p),
@@ -136,7 +156,7 @@ def build_sah(tri_v: np.ndarray, leaf_size: int = 8,
     return SahBvh(children=children, child_ids=ids, order=order,
                   num_internal=int(ni), num_leaves=int(nl),
                   depth=int(depth), leaf_size=leaf_size,
-                  num_refs=int(nrefs))
+                  num_refs=int(nrefs), width=width)
 
 
 def leaf_rows(tri_v: np.ndarray, order: np.ndarray, leaf_size: int
@@ -180,9 +200,10 @@ def validate(bvh: SahBvh, tri_v: np.ndarray) -> None:
         assert len(seen) == tri_v.shape[0], "duplicated reference"
 
     # child boxes contain their triangles / sub-boxes
-    boxes = bvh.children.reshape(ni, 6, 8)
+    w = bvh.children.shape[1] // 6
+    boxes = bvh.children.reshape(ni, 6, w)
     for node in range(ni):
-        for j in range(8):
+        for j in range(w):
             cid = bvh.child_ids[node, j]
             lo = boxes[node, 0:3, j]
             hi = boxes[node, 3:6, j]
@@ -197,7 +218,7 @@ def validate(bvh: SahBvh, tri_v: np.ndarray) -> None:
                 assert (tv >= lo - 1e-4).all(), f"leaf {leaf} lo"
                 assert (tv <= hi + 1e-4).all(), f"leaf {leaf} hi"
             else:
-                cb = bvh.children.reshape(ni, 6, 8)[cid]
+                cb = boxes[cid]
                 real = cb[0] < _INF
                 if real.any():
                     assert (cb[0:3, real] >= lo[:, None] - 1e-4).all()

@@ -90,6 +90,34 @@ def test_scene_remap_is_consistent(rs):
     assert valid.max() < scene.tri_n.shape[0]
 
 
+def test_sah_width_collapse(rs):
+    """Probe-only wide-node fanouts (srt_bvh_build3, W != 8) must obey
+    the same containment invariants, and — since the DP collapse only
+    re-partitions the binary tree — produce the SAME leaf set as W=8
+    (leaves are immutable under the collapse; only internal grouping
+    changes). Gates tools/probe_tree_width.py's comparability claim."""
+    tri = _random_tris(rs, 4000)
+    k = 8
+
+    def leaf_set(b):
+        rows = b.order.reshape(-1, k)
+        return {frozenset(int(t) for t in r if t >= 0) for r in rows
+                if (r >= 0).any()}
+
+    b8 = sah.build_sah(tri, k, spatial=False, width=8)
+    ref = leaf_set(b8)
+    for w in (12, 16):
+        b = sah.build_sah(tri, k, spatial=False, width=w)
+        if b is None:
+            pytest.skip("library lacks srt_bvh_build3")
+        sah.validate(b, tri)
+        assert b.width == w
+        assert b.children.shape[1] == 6 * w
+        assert b.child_ids.shape[1] == w
+        assert b.num_internal < b8.num_internal  # fatter nodes
+        assert leaf_set(b) == ref
+
+
 def test_sbvh_spatial_splits_parity(rs):
     """SBVH (spatial=True) duplicates clipped references; traversal
     through the split tree must still match brute force exactly.

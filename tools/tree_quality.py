@@ -33,7 +33,8 @@ class Tree:
     def __init__(self, tri, bvh):
         self.ni = bvh.num_internal
         self.k = bvh.leaf_size
-        self.boxes = bvh.children.reshape(self.ni, 6, 8)
+        w = bvh.children.shape[1] // 6
+        self.boxes = bvh.children.reshape(self.ni, 6, w)
         self.ids = bvh.child_ids
         rows = sah.leaf_rows(tri, bvh.order, self.k)
         L = rows.shape[0]
