@@ -432,13 +432,13 @@ def render_megakernel(scene, cam: Camera, *, width: int, height: int,
     # wavefront compaction); the CPU/XLA traversal gains nothing, so
     # default off there. SRT_MK_SORT=k sorts every k bounces (0=off).
     # Cadence sweep (tools/tune_mk_cadence.py, PLAN_TPU round-3
-    # facts): every bounce wins at shallow depth (d10 3.40 vs 3.30 at
-    # chunk4) but every-2 wins deep (d50 2.79 vs 2.50) — late-bounce
+    # facts): every bounce wins through d30 (3.10 vs 2.95 at chunk3)
+    # but every-2 wins at d50 (2.79 vs 2.50 at chunk4) — late-bounce
     # survival is high, so re-sorting barely shrinks-reorders anything
-    # and the argsort+take is pure cost. Crossover unmeasured between
-    # d10 and d50; 20 splits the difference.
+    # and the argsort+take is pure cost. Crossover measured between
+    # d30 and d50; the default flips past the verified-shallow bound.
     if jax.default_backend() == "tpu":
-        default_sort = 1 if max_depth <= 20 else 2
+        default_sort = 1 if max_depth <= 30 else 2
     else:
         default_sort = 0
     sort_every = int(os.environ.get("SRT_MK_SORT", str(default_sort)))
@@ -459,10 +459,15 @@ def render_megakernel(scene, cam: Camera, *, width: int, height: int,
     # Bounce-chunked mode (see _chunked_wave): k fused
     # bounce iterations per program, queue shrunk to the live bucket
     # between programs. Default on TPU; SRT_MK_CHUNK=0 disables.
-    # chunk=4 won the cadence sweep at BOTH depths (d10 3.40 / d50
-    # 2.79 vs chunk6's 3.14 / 2.76, chunk8's 2.97 / 2.59): reslicing
-    # the queue more often beats fusing more bounces per program.
-    default_chunk = 4 if jax.default_backend() == "tpu" else 0
+    # Smaller chunks won the cadence sweep monotonically (d10: c3
+    # 3.51 > c2 3.44 > c4 3.39 > c6 3.14 > c8 2.97; d50 at sort2:
+    # c2 2.87 > c3 2.81 > c4 2.79 > c6 2.66): reslicing the queue
+    # more often beats fusing more bounces per program, and at deep
+    # depth the shrink compounds enough that chunk=2 overtakes 3.
+    if jax.default_backend() == "tpu":
+        default_chunk = 3 if max_depth <= 30 else 2
+    else:
+        default_chunk = 0
     chunk = int(os.environ.get("SRT_MK_CHUNK", str(default_chunk)))
     # max_depth=0 renders black with zero rays (the reference's loop
     # never runs) — only the plain engine expresses that, so the
