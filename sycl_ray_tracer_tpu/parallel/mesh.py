@@ -31,7 +31,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from sycl_ray_tracer_tpu.models.camera import Camera, generate_rays
 from sycl_ray_tracer_tpu.models.megakernel import accumulate_megakernel
-from sycl_ray_tracer_tpu.models.wavefront import _bounce
+from sycl_ray_tracer_tpu.models.wavefront import SORT_MODE, _bounce
 from sycl_ray_tracer_tpu.ops.vec import linear_to_gamma
 
 
@@ -121,6 +121,12 @@ def _render_sharded_wavefront_hostloop(
                        donate_argnums=(1,))
     def step(scene, state, s_local, bounce_idx, *, capacity: int,
              primary: bool):
+        """One bounce for every shard, deferred accumulation included
+        (the same _bounce(deferred_acc=True) branch the single-chip
+        host loop runs — round-2 VERDICT: keep the sharded path and the
+        fast path converged). Terminated rows ride each shard's
+        compaction argsort into [new_count, count); the host slices
+        them with scatter_term below."""
         def fn(scene, *st):
             dpi = jax.lax.axis_index("dp")
             spi = jax.lax.axis_index("sp")
@@ -133,21 +139,56 @@ def _render_sharded_wavefront_hostloop(
                         jnp.uint32(spi) * jnp.uint32(n_local))
             carry = tuple(cols) + (cnt, acc,
                                    jnp.zeros((1,), jnp.int32))
-            out = _bounce(scene, None, carry, bounce_idx, capacity,
-                          rr=rr, primary=primary, f16_queue=f16_queue,
-                          key_seed=key_seed)
+            out, term = _bounce(scene, None, carry, bounce_idx,
+                                capacity, rr=rr, primary=primary,
+                                f16_queue=f16_queue, deferred_acc=True,
+                                key_seed=key_seed)
             new_cols = out[:13]
             new_cnt = out[13]
             new_acc = out[14]
+            term = term if term is not None else ()
             return (tuple(c.reshape(1, 1, capacity) for c in new_cols)
                     + (new_cnt.reshape(1, 1).astype(jnp.int32),
-                       new_acc.reshape(1, 1, n_local, 3)))
+                       new_acc.reshape(1, 1, n_local, 3))
+                    + tuple(c.reshape(1, 1, capacity) for c in term))
+
+        n_out = 15 + (4 if SORT_MODE != "none" else 0)
+        out = jax.shard_map(
+            fn, mesh=mesh,
+            in_specs=(P(),) + tuple([spec_q] * 13) + (spec_c, spec_a),
+            out_specs=(tuple([spec_q] * 13) + (spec_c, spec_a)
+                       + tuple([spec_q] * (n_out - 15))),
+            check_vma=False)(scene, *state)
+        return out[:15], (out[15:] if n_out > 15 else None)
+
+    @functools.partial(jax.jit, static_argnames=("seg",),
+                       donate_argnums=(0,))
+    def scatter_term(acc, q_id, cx, cy, cz, start, lo, hi, *, seg: int):
+        """Per-shard analog of wavefront._scatter_terminated: scatter-
+        add each shard's [lo, hi) terminated segment into its LOCAL
+        accumulator (scatter never crosses ICI). start/lo/hi arrive as
+        (dp, sp) host-computed arrays — per-shard dynamic bounds with
+        one shared static seg so every shard compiles one shape."""
+        def fn(acc, q_id, cx, cy, cz, start, lo, hi):
+            a = acc.reshape(n_local, 3)
+            qs = q_id.reshape(q_id.shape[-1])
+            st = start.reshape(())
+            rows = jnp.arange(seg, dtype=jnp.int32) + st
+            ok = (rows >= lo.reshape(())) & (rows < hi.reshape(()))
+            qseg = jax.lax.dynamic_slice(qs, (st,), (seg,))
+            pix = jnp.where(ok, qseg % n_local, n_local)
+            out = []
+            for i, c in enumerate((cx, cy, cz)):
+                cs = jax.lax.dynamic_slice(
+                    c.reshape(c.shape[-1]), (st,), (seg,))
+                out.append(a[:, i].at[pix].add(cs, mode="drop"))
+            return jnp.stack(out, axis=1).reshape(1, 1, n_local, 3)
 
         return jax.shard_map(
             fn, mesh=mesh,
-            in_specs=(P(),) + tuple([spec_q] * 13) + (spec_c, spec_a),
-            out_specs=tuple([spec_q] * 13) + (spec_c, spec_a),
-            check_vma=False)(scene, *state)
+            in_specs=(spec_a,) + tuple([spec_q] * 4) + (spec_c,) * 3,
+            out_specs=spec_a,
+            check_vma=False)(acc, q_id, cx, cy, cz, start, lo, hi)
 
     def bucket_of(c, cap):
         from sycl_ray_tracer_tpu.models.wavefront import (
@@ -163,6 +204,7 @@ def _render_sharded_wavefront_hostloop(
         state = gen(scene, cam, jnp.uint32(s), w=w)
         count_max = cap
         counts_sum = cap * dp * sp
+        counts = np.full((dp, sp), cap, np.int64)
         for bounce in range(max_depth):
             if count_max == 0:
                 break
@@ -171,9 +213,30 @@ def _render_sharded_wavefront_hostloop(
             if state[0].shape[-1] != b:
                 state = tuple(a[:, :, :b] for a in state[:13]) \
                     + state[13:]
-            state = step(scene, state, jnp.uint32(s), jnp.int32(bounce),
-                         capacity=b, primary=(bounce == 0))
-            counts = np.asarray(state[13])
+            state, term = step(scene, state, jnp.uint32(s),
+                               jnp.int32(bounce), capacity=b,
+                               primary=(bounce == 0))
+            new_counts = np.asarray(state[13]).astype(np.int64)
+            if term is not None:
+                # each shard's terminated rows sit in
+                # [new_count, prev_count) of its sorted queue; one
+                # static pow2 segment covers the largest shard's
+                n_term = np.minimum(counts, b) - new_counts
+                if n_term.max() > 0:
+                    seg = 1 << max(int(n_term.max() - 1).bit_length(),
+                                   12)
+                    seg = min(seg, b)
+                    start = np.minimum(new_counts, b - seg) \
+                        .astype(np.int32)
+                    acc2 = scatter_term(
+                        state[14], term[0], term[1], term[2], term[3],
+                        jnp.asarray(start),
+                        jnp.asarray(new_counts.astype(np.int32)),
+                        jnp.asarray(np.minimum(counts, b)
+                                    .astype(np.int32)),
+                        seg=seg)
+                    state = state[:14] + (acc2,)
+            counts = new_counts
             count_max = int(counts.max())
             counts_sum = int(counts.sum())
         acc = state[14]
