@@ -489,14 +489,32 @@ def render_megakernel(scene, cam: Camera, *, width: int, height: int,
                                waves=w, rr=rr, sort_every=sort_every)
     waves = max(1, min(spp, wave_rays // n,
                        lane_bounces // max(n * bounces_per_program, 1)))
-    accum = None
-    rays = None
+    specs = []
     s = 0
     while s < spp:
         w = min(waves, spp - s)
-        a, r = per_wave(s, w)
+        specs.append((s, w))
+        s += w
+    # Wave interleaving (SRT_WAVE_THREADS, default 2): same rationale
+    # as render_wavefront — the axon execute path is a synchronous
+    # ~35-40 ms RPC per program (tools/probe_rtt.py) that only
+    # concurrent host threads can overlap (tools/probe_rtt2.py:
+    # 2.03x on RPC-bound streams). The chunked megakernel blocks on
+    # one `int(live)` scalar per chunk program; a second wave's
+    # programs fill that gap. BIT-IDENTICAL to the serial loop: each
+    # wave's programs are unchanged and accumulators are summed in
+    # wave order below.
+    n_threads = int(os.environ.get("SRT_WAVE_THREADS", "2"))
+    if n_threads > 1 and len(specs) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=n_threads) as pool:
+            results = list(pool.map(lambda sw: per_wave(*sw), specs))
+    else:
+        results = [per_wave(*sw) for sw in specs]
+    accum = None
+    rays = None
+    for a, r in results:
         accum = a if accum is None else accum + a
         rays = r if rays is None else rays + r
-        s += w
     img = linear_to_gamma(accum * (1.0 / spp))
     return img.reshape(height, width, 3), rays

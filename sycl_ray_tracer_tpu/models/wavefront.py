@@ -525,8 +525,6 @@ def render_wavefront(scene, cam: Camera, *, width: int, height: int,
     profile = os.environ.get("SRT_PROFILE") == "1"
 
     n = width * height
-    combined = None
-    rays = np.zeros((max_depth,), np.int64)
 
     # Batch samples into waves of up to ~16M rays per queue (measured
     # on v5e at 1024x1024; override with SRT_WAVE_RAYS).
@@ -537,9 +535,10 @@ def render_wavefront(scene, cam: Camera, *, width: int, height: int,
     # RMSE-neutral but also perf-neutral on v5e (see PLAN_TPU.md).
     f16_queue = os.environ.get("SRT_F16_QUEUE") == "1"
 
-    s = 0
-    while s < spp:
-        w = min(waves, spp - s)
+    def run_wave(s: int, w: int):
+        """One wave (w camera samples batched into a w*n-ray queue):
+        returns (accumulator [n,3], per-bounce ray tallies int64)."""
+        rays_w = np.zeros((max_depth,), np.int64)
         cap = w * n
         _, state = _gen_queue(scene, cam, seed, s, width=width,
                               height=height, waves=w, return_keys=False)
@@ -549,7 +548,7 @@ def render_wavefront(scene, cam: Camera, *, width: int, height: int,
         for bounce in range(max_depth):
             if count == 0:
                 break
-            rays[bounce] += count
+            rays_w[bounce] += count
             t0 = _time.perf_counter() if profile else 0.0
             b = bucket_of(count, cap)
             if state[0].shape[0] != b:
@@ -574,9 +573,37 @@ def render_wavefront(scene, cam: Camera, *, width: int, height: int,
                 print(f"[profile] wave@{s}x{w} bounce {bounce}: "
                       f"{(_time.perf_counter() - t0) * 1e3:.1f} ms, "
                       f"bucket {b}, queue -> {count}")
-        acc = state[14]
-        combined = acc if combined is None else combined + acc
+        return state[14], rays_w
+
+    specs = []
+    s = 0
+    while s < spp:
+        w = min(waves, spp - s)
+        specs.append((s, w))
         s += w
+
+    # Wave interleaving (SRT_WAVE_THREADS, default 2): the axon
+    # execute path is a synchronous ~35-40 ms RPC per program that
+    # single-threaded dispatch cannot hide (tools/probe_rtt.py:
+    # pipelined == serial) but concurrent threads overlap fully
+    # (probe_rtt2: 2.03x on RPC-bound streams). Driving two waves on
+    # two threads fills one wave's per-bounce readback gap with the
+    # other wave's queued programs. Output is BIT-IDENTICAL to the
+    # sequential loop: each wave's programs are unchanged and the
+    # per-wave accumulators are summed in wave order below.
+    n_threads = int(os.environ.get("SRT_WAVE_THREADS", "2"))
+    if n_threads > 1 and len(specs) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=n_threads) as pool:
+            results = list(pool.map(lambda sw: run_wave(*sw), specs))
+    else:
+        results = [run_wave(*sw) for sw in specs]
+
+    combined = None
+    rays = np.zeros((max_depth,), np.int64)
+    for acc, rays_w in results:
+        combined = acc if combined is None else combined + acc
+        rays += rays_w
     img = linear_to_gamma(combined * (1.0 / spp))
     return (img.reshape(height, width, 3),
             jnp.asarray(np.minimum(rays, 2**31 - 1).astype(np.int32)))

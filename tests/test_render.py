@@ -407,3 +407,26 @@ def test_scatter_terminated_segment():
             ref[qs[r] % n] += np.asarray(
                 [cx[r], cy[r], cz[r]], np.float32)
         assert np.allclose(out, ref, atol=1e-5), (lo, hi, seg)
+
+
+def test_wave_threads_bit_identity(monkeypatch):
+    """SRT_WAVE_THREADS (default 2): both engines' host wave loops may
+    drive independent waves from concurrent threads to overlap the
+    per-program RPC of the axon execute path (tools/probe_rtt{,2}.py).
+    Claim: interleaving is pure scheduling — each wave's device
+    programs are unchanged and per-wave accumulators are summed in
+    wave order — so images and ray tallies must be BIT-identical to
+    the serial loop, for both engines. Forces 4 waves (wave cap = 2
+    samples) so the thread pool actually interleaves."""
+    glb = scenes.cube_scene_glb()
+    scene, host, cam = scenes.load_pair(glb, 64, 64)
+    kw = dict(width=64, height=64, spp=8, max_depth=6, seed=3)
+    monkeypatch.setenv("SRT_WAVE_RAYS", str(2 * 64 * 64))
+    monkeypatch.setenv("SRT_MK_CHUNK", "2")  # exercise chunked path off-TPU
+    for render in (render_wavefront, render_megakernel):
+        monkeypatch.setenv("SRT_WAVE_THREADS", "1")
+        base, base_rays = render(scene, cam, **kw)
+        monkeypatch.setenv("SRT_WAVE_THREADS", "3")
+        thr, thr_rays = render(scene, cam, **kw)
+        assert (np.asarray(base) == np.asarray(thr)).all(), render
+        assert (np.asarray(base_rays) == np.asarray(thr_rays)).all()
