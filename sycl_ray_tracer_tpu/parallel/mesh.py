@@ -195,11 +195,10 @@ def _render_sharded_wavefront_hostloop(
             bucket_of as _bucket_of)
         return _bucket_of(c, cap, floor_bits=14)
 
-    rays = np.zeros((max_depth,), np.int64)
-    combined = None
-    s = 0
-    while s < spp_local:
-        w = min(waves, spp_local - s)
+    def run_wave(s: int, w: int):
+        """One wave of w local samples across every shard: returns
+        (accumulator [dp, sp, n_local, 3], per-bounce tallies)."""
+        rays_w = np.zeros((max_depth,), np.int64)
         cap = w * n_local
         state = gen(scene, cam, jnp.uint32(s), w=w)
         count_max = cap
@@ -208,7 +207,7 @@ def _render_sharded_wavefront_hostloop(
         for bounce in range(max_depth):
             if count_max == 0:
                 break
-            rays[bounce] += counts_sum
+            rays_w[bounce] += counts_sum
             b = bucket_of(count_max, cap)
             if state[0].shape[-1] != b:
                 state = tuple(a[:, :, :b] for a in state[:13]) \
@@ -239,9 +238,34 @@ def _render_sharded_wavefront_hostloop(
             counts = new_counts
             count_max = int(counts.max())
             counts_sum = int(counts.sum())
-        acc = state[14]
-        combined = acc if combined is None else combined + acc
+        return state[14], rays_w
+
+    specs = []
+    s = 0
+    while s < spp_local:
+        w = min(waves, spp_local - s)
+        specs.append((s, w))
         s += w
+
+    # Same wave interleave as the single-chip loops (wavefront.py /
+    # megakernel.py, SRT_WAVE_THREADS default 2): overlaps the
+    # per-program dispatch/readback gap of one wave with the other
+    # wave's queued programs, and keeps the sharded host loop
+    # structurally converged with the fast path. Bit-identical: wave
+    # programs unchanged, accumulators summed in wave order.
+    n_threads = int(os.environ.get("SRT_WAVE_THREADS", "2"))
+    if n_threads > 1 and len(specs) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=n_threads) as pool:
+            results = list(pool.map(lambda sw: run_wave(*sw), specs))
+    else:
+        results = [run_wave(*sw) for sw in specs]
+
+    rays = np.zeros((max_depth,), np.int64)
+    combined = None
+    for acc, rays_w in results:
+        combined = acc if combined is None else combined + acc
+        rays += rays_w
 
     @jax.jit
     def finish(acc):

@@ -48,3 +48,28 @@ def test_pixel_only_sharding_megakernel():
                                 spp=2, max_depth=4, seed=0, mesh=mesh,
                                 renderer="megakernel")
     assert rmse(np.asarray(single), np.asarray(sharded)) < 1e-6
+
+
+def test_sharded_multiwave_threads(monkeypatch):
+    """The sharded host loop splits local samples into waves and (like
+    the single-chip loops) may interleave them across host threads
+    (SRT_WAVE_THREADS). Force 4 waves x 2 threads and check both the
+    serial/threaded bit-identity and the sharded-vs-single estimator
+    equality still hold."""
+    scene, host, cam = scenes.load_pair(scenes.cube_scene_glb(), 32, 32)
+    single, rays1 = render_wavefront(scene, cam, width=32, height=32,
+                                     spp=16, max_depth=6, seed=0)
+    mesh = make_mesh(dp=2, sp=2)
+    # n_local = 512 pixels; 2 local samples per wave -> 4 waves of the
+    # 8 local samples each dp shard owns
+    monkeypatch.setenv("SRT_WAVE_RAYS", str(2 * 512))
+    monkeypatch.setenv("SRT_WAVE_THREADS", "1")
+    ser, rays_s = render_sharded(scene, cam, width=32, height=32,
+                                 spp=16, max_depth=6, seed=0, mesh=mesh)
+    monkeypatch.setenv("SRT_WAVE_THREADS", "2")
+    thr, rays_t = render_sharded(scene, cam, width=32, height=32,
+                                 spp=16, max_depth=6, seed=0, mesh=mesh)
+    assert (np.asarray(ser) == np.asarray(thr)).all()
+    assert (np.asarray(rays_s) == np.asarray(rays_t)).all()
+    assert rmse(np.asarray(single), np.asarray(thr)) < 1e-6
+    assert np.asarray(rays1).sum() == np.asarray(rays_t).sum()
