@@ -495,22 +495,12 @@ def render_megakernel(scene, cam: Camera, *, width: int, height: int,
         w = min(waves, spp - s)
         specs.append((s, w))
         s += w
-    # Wave interleaving (SRT_WAVE_THREADS, default 2): same rationale
-    # as render_wavefront — the axon execute path is a synchronous
-    # ~35-40 ms RPC per program (tools/probe_rtt.py) that only
-    # concurrent host threads can overlap (tools/probe_rtt2.py:
-    # 2.03x on RPC-bound streams). The chunked megakernel blocks on
-    # one `int(live)` scalar per chunk program; a second wave's
-    # programs fill that gap. BIT-IDENTICAL to the serial loop: each
-    # wave's programs are unchanged and accumulators are summed in
-    # wave order below.
-    n_threads = int(os.environ.get("SRT_WAVE_THREADS", "2"))
-    if n_threads > 1 and len(specs) > 1:
-        from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(max_workers=n_threads) as pool:
-            results = list(pool.map(lambda sw: per_wave(*sw), specs))
-    else:
-        results = [per_wave(*sw) for sw in specs]
+    # The chunked megakernel blocks on one `int(live)` scalar per
+    # chunk program; interleaving a second wave's programs fills that
+    # gap (see wavefront.interleave_waves for the RPC rationale and
+    # the bit-identity argument).
+    from sycl_ray_tracer_tpu.models.wavefront import interleave_waves
+    results = interleave_waves(per_wave, specs)
     accum = None
     rays = None
     for a, r in results:

@@ -64,6 +64,43 @@ def _unpack_f16_pair(p: jnp.ndarray):
     return a.astype(jnp.float32), b.astype(jnp.float32)
 
 
+def interleave_waves(run_wave, specs, *, serial: bool = False):
+    """Run (s, w) wave specs through run_wave, interleaved across
+    SRT_WAVE_THREADS host threads (default 2); returns results in SPEC
+    order. Shared by both engines and the sharded host loop so the
+    interleave policy cannot drift between them.
+
+    Why: the remote runtime's execute path is a synchronous ~35-40 ms
+    RPC per device program that single-threaded dispatch cannot
+    pipeline past, but concurrent threads overlap fully
+    (tools/probe_rtt.py, probe_rtt2.py; CLAUDE.md). Driving two waves
+    from two threads fills one wave's per-bounce readback gap with the
+    other wave's queued programs (+2.4% at the headline config).
+
+    Output must stay BIT-identical to the serial loop: callers sum the
+    returned per-wave accumulators in this list's (spec) order, and
+    each wave's device programs are unchanged — threading is pure
+    host-side scheduling.
+
+    Memory: each in-flight wave holds its full queue state on device
+    (at the default 16M-ray wavefront waves, ~0.8 GB of packed columns
+    plus sort temporaries), so threads=2 roughly doubles peak HBM for
+    queues. The defaults (16M x 2) fit a v5e chip; when raising
+    SRT_WAVE_RAYS toward single-wave capacity, drop SRT_WAVE_THREADS
+    to 1.
+
+    serial=True forces one thread regardless of the env (used when
+    SRT_PROFILE=1: per-bounce wall clocks would otherwise include the
+    concurrent wave's device occupancy and read as noise)."""
+    n_threads = 1 if serial else int(os.environ.get("SRT_WAVE_THREADS",
+                                                    "2"))
+    if n_threads > 1 and len(specs) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=n_threads) as pool:
+            return list(pool.map(lambda sw: run_wave(*sw), specs))
+    return [run_wave(*sw) for sw in specs]
+
+
 def bucket_of(c: int, cap: int, floor_bits: int = 16) -> int:
     """Program-shape bucket for a live count of c (host-side int math).
 
@@ -582,22 +619,9 @@ def render_wavefront(scene, cam: Camera, *, width: int, height: int,
         specs.append((s, w))
         s += w
 
-    # Wave interleaving (SRT_WAVE_THREADS, default 2): the axon
-    # execute path is a synchronous ~35-40 ms RPC per program that
-    # single-threaded dispatch cannot hide (tools/probe_rtt.py:
-    # pipelined == serial) but concurrent threads overlap fully
-    # (probe_rtt2: 2.03x on RPC-bound streams). Driving two waves on
-    # two threads fills one wave's per-bounce readback gap with the
-    # other wave's queued programs. Output is BIT-IDENTICAL to the
-    # sequential loop: each wave's programs are unchanged and the
-    # per-wave accumulators are summed in wave order below.
-    n_threads = int(os.environ.get("SRT_WAVE_THREADS", "2"))
-    if n_threads > 1 and len(specs) > 1:
-        from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(max_workers=n_threads) as pool:
-            results = list(pool.map(lambda sw: run_wave(*sw), specs))
-    else:
-        results = [run_wave(*sw) for sw in specs]
+    # See interleave_waves: profile mode runs serial so per-bounce
+    # wall clocks aren't polluted by the concurrent wave.
+    results = interleave_waves(run_wave, specs, serial=profile)
 
     combined = None
     rays = np.zeros((max_depth,), np.int64)

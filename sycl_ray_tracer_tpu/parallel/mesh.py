@@ -247,19 +247,12 @@ def _render_sharded_wavefront_hostloop(
         specs.append((s, w))
         s += w
 
-    # Same wave interleave as the single-chip loops (wavefront.py /
-    # megakernel.py, SRT_WAVE_THREADS default 2): overlaps the
-    # per-program dispatch/readback gap of one wave with the other
-    # wave's queued programs, and keeps the sharded host loop
-    # structurally converged with the fast path. Bit-identical: wave
-    # programs unchanged, accumulators summed in wave order.
-    n_threads = int(os.environ.get("SRT_WAVE_THREADS", "2"))
-    if n_threads > 1 and len(specs) > 1:
-        from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(max_workers=n_threads) as pool:
-            results = list(pool.map(lambda sw: run_wave(*sw), specs))
-    else:
-        results = [run_wave(*sw) for sw in specs]
+    # Same wave interleave as the single-chip loops (see
+    # wavefront.interleave_waves for the RPC rationale and the
+    # bit-identity argument); sharing the helper keeps the sharded
+    # host loop structurally converged with the fast path.
+    from sycl_ray_tracer_tpu.models.wavefront import interleave_waves
+    results = interleave_waves(run_wave, specs)
 
     rays = np.zeros((max_depth,), np.int64)
     combined = None

@@ -52,10 +52,15 @@ def main():
         run_n(fn, pool, n, 0)
         one = time.perf_counter() - t0
 
-        # same TOTAL program count split over two threads
+        # same TOTAL program count split over two threads. FRESH pool
+        # offsets — the 1-thread pass consumed [0, n); replaying those
+        # exact (fn, input) pairs here could hit the runtime's
+        # identical-execution memoization (CLAUDE.md) and overstate
+        # the concurrency speedup.
         t0 = time.perf_counter()
-        a = threading.Thread(target=run_n, args=(fn, pool, n // 2, 0))
-        b = threading.Thread(target=run_n, args=(fn, pool, n // 2, 32))
+        a = threading.Thread(target=run_n, args=(fn, pool, n // 2, n))
+        b = threading.Thread(target=run_n,
+                             args=(fn, pool, n // 2, n + n // 2))
         a.start(); b.start(); a.join(); b.join()
         two = time.perf_counter() - t0
         print(f"# {name}: {n} programs 1-thread {one * 1e3:.1f} ms, "
