@@ -209,6 +209,10 @@ def main():
                                         _merge(old_avg, avg_rows))
                             return
                     if per_run:
+                        warn = _stall_warning(per_run)
+                        if warn:
+                            print(f"{scene} {renderer} {res} d={d} "
+                                  f"s={s} {warn}", flush=True)
                         avg_rows.append([
                             renderer, scene, res, d, s,
                             statistics.mean(x[0] for x in per_run),
@@ -225,6 +229,30 @@ def main():
 
     _write_csvs(_merge(old_raw, raw_rows), _merge(old_avg, avg_rows))
     print("wrote benchmark_raw.csv, benchmark_avg.csv")
+
+
+def _stall_warning(per_run):
+    """Flag a timed run whose wall time is wildly off its siblings.
+
+    The axon worker occasionally stalls a single execution for minutes
+    (observed: 4470 s for a config whose sibling runs took 157 s); the
+    mean then records neither the device's rate nor the stall. The
+    methodology stays mean-of-runs (matching the reference's
+    benchmark.py averaging) — this only makes the pollution loud so
+    the config gets re-measured instead of shipped.
+
+    Returns a warning string, or None if the spread is normal.
+    """
+    times = [x[0] for x in per_run]
+    if len(times) < 2 or min(times) <= 0:
+        return None
+    ratio = max(times) / min(times)
+    if ratio <= 2.0:
+        return None
+    return (f"WARNING: run time spread {ratio:.1f}x "
+            f"(min {min(times):.1f}s, max {max(times):.1f}s) — "
+            f"likely a device stall; re-measure this config "
+            f"(--append replaces its rows)")
 
 
 def _backend_alive() -> bool:

@@ -51,3 +51,17 @@ def test_read_csvs_upgrades_legacy_schema(tmp_path, monkeypatch):
     assert raw == []  # missing file tolerated
     assert avg == [["wavefront", "sponza_proc", "512x512", "10", "128",
                     "30.0", "4.2", "1000"]]
+
+
+def test_stall_warning_flags_outlier_run():
+    # (time_s, mrays, total) triples; the 4470s run vs 157s siblings
+    per_run = [(157.5, 3.69, 581e6), (4469.9, 0.13, 581e6)]
+    warn = benchmark._stall_warning(per_run)
+    assert warn is not None and "stall" in warn
+
+
+def test_stall_warning_quiet_on_normal_spread():
+    assert benchmark._stall_warning(
+        [(157.5, 3.69, 581e6), (157.8, 3.68, 581e6)]) is None
+    # single timed run: nothing to compare
+    assert benchmark._stall_warning([(157.5, 3.69, 581e6)]) is None
