@@ -437,8 +437,17 @@ def render_megakernel(scene, cam: Camera, *, width: int, height: int,
     # survival is high, so re-sorting barely shrinks-reorders anything
     # and the argsort+take is pure cost. Crossover measured between
     # d30 and d50; the default flips past the verified-shallow bound.
+    # Treelet scenes (tl_count > 1) take the deep-depth cadence at ALL
+    # depths: the 512^2 matrix showed minecraft_proc JUMPING 2.29 ->
+    # 2.54 Mrays/s from d30 (chunk3/sort1) to d40 (chunk2/sort2) —
+    # deeper depth, higher rate — because every chained treelet pass
+    # repeats the dead-lane tax, so the tighter reslicing pays
+    # tl_count times while the extra sorts amortize over tl_count
+    # kernel passes (measured A/B at d10 s128: 2.45 -> 2.73, +11%;
+    # d20 2.34 -> 2.62, d30 2.29 -> 2.58 — PLAN_TPU round-3 facts).
+    tl_chain = max(1, getattr(scene, "tl_count", 0) or 1)
     if jax.default_backend() == "tpu":
-        default_sort = 1 if max_depth <= 30 else 2
+        default_sort = 1 if (max_depth <= 30 and tl_chain == 1) else 2
     else:
         default_sort = 0
     sort_every = int(os.environ.get("SRT_MK_SORT", str(default_sort)))
@@ -464,8 +473,9 @@ def render_megakernel(scene, cam: Camera, *, width: int, height: int,
     # c2 2.87 > c3 2.81 > c4 2.79 > c6 2.66): reslicing the queue
     # more often beats fusing more bounces per program, and at deep
     # depth the shrink compounds enough that chunk=2 overtakes 3.
+    # Treelet scenes take chunk=2 at all depths (see default_sort).
     if jax.default_backend() == "tpu":
-        default_chunk = 3 if max_depth <= 30 else 2
+        default_chunk = 3 if (max_depth <= 30 and tl_chain == 1) else 2
     else:
         default_chunk = 0
     chunk = int(os.environ.get("SRT_MK_CHUNK", str(default_chunk)))
