@@ -170,6 +170,14 @@ def main():
                 res = f"{width}x{height}"
                 for d, s in pairs:
                     per_run = []
+                    # buffered per config: committed to raw_rows only
+                    # if a measured run lands, so a config that fails
+                    # after its warm-up leaves NO raw rows — otherwise
+                    # the stray warm-up row evicts the config's old
+                    # raw rows under --append while its nan avg row
+                    # (filtered by _merge) keeps the old avg row, and
+                    # the two CSVs contradict each other
+                    cfg_raw = []
                     try:
                         for r in range(args.runs + 1):
                             if args.inproc:
@@ -187,7 +195,7 @@ def main():
                                      if r == 0 else ""), flush=True)
                             row = [renderer, scene, res,
                                    d, s, r, t, mrays, total]
-                            raw_rows.append(row)
+                            cfg_raw.append(row)
                             if r > 0:
                                 per_run.append((t, mrays, total))
                     except (RuntimeError,
@@ -209,6 +217,7 @@ def main():
                                         _merge(old_avg, avg_rows))
                             return
                     if per_run:
+                        raw_rows.extend(cfg_raw)
                         warn = _stall_warning(per_run)
                         if warn:
                             print(f"{scene} {renderer} {res} d={d} "

@@ -464,7 +464,7 @@ def render_megakernel(scene, cam: Camera, *, width: int, height: int,
     # single-tree one. The round-3 512^2 sweep hung the remote worker
     # on exactly this: minecraft_proc (4 treelets) at d30 hit the
     # watchdog at the 64M cap calibrated on single-tree scenes.
-    lane_bounces //= max(1, getattr(scene, "tl_count", 0) or 1)
+    lane_bounces //= tl_chain
     # Bounce-chunked mode (see _chunked_wave): k fused
     # bounce iterations per program, queue shrunk to the live bucket
     # between programs. Default on TPU; SRT_MK_CHUNK=0 disables.

@@ -199,8 +199,19 @@ def build_device_scene(host: HostScene,
         # in-VMEM rate, vs the 2.3-3x treelet chaining tax — so prefer
         # it whenever it fits (minecraft_proc 2.06M tris).
         # build_sah returns None when the native library is unavailable
-        # (ops/sah.py contract) — fall through to treelets/Morton then
-        sahb = _sah.build_sah(host.tri_v, leaf_size)
+        # (ops/sah.py contract) — fall through to treelets/Morton then.
+        # Cheap preempt-the-probe bound first: num_leaves >=
+        # ceil(n / leaf_size), so lt_tiles alone lower-bounds est_bf16
+        # — scenes far past the bf16 ceiling (e.g. 5-10M tris) skip
+        # the full SAH build they would only throw away.
+        from sycl_ray_tracer_tpu.models.trace import (
+            VMEM_TABLE_LIMIT_BYTES as _VMEM_LIMIT)
+        min_leaves = -(-host.num_triangles // leaf_size)
+        min_lt_tiles = -(-min_leaves // 8)
+        if min_lt_tiles * 8 * 128 * 4 > _VMEM_LIMIT:
+            sahb = None
+        else:
+            sahb = _sah.build_sah(host.tri_v, leaf_size)
         if sahb is not None and (
                 sahb.num_internal + sahb.num_leaves < (1 << 24)):
             lt_tiles = -(-sahb.num_leaves // 8)

@@ -39,8 +39,11 @@ def _load_library():
         lib_mtime = os.path.getmtime(_LIB_PATH)
         src_dir = os.path.join(_REPO_ROOT, "native")
         try:
+            # Makefile counts as a source: a CXXFLAGS/-D change must
+            # trigger a rebuild too, or ctypes silently loads a .so
+            # built with the old flags
             return any(
-                f.endswith(".cpp")
+                (f.endswith(".cpp") or f == "Makefile")
                 and os.path.getmtime(os.path.join(src_dir, f)) > lib_mtime
                 for f in os.listdir(src_dir))
         except OSError:
