@@ -53,6 +53,52 @@ def test_read_csvs_upgrades_legacy_schema(tmp_path, monkeypatch):
                     "30.0", "4.2", "1000"]]
 
 
+def test_merge_nan_row_never_evicts_measured_data():
+    old = [["wavefront", "cube", "64x48", "10", "128", "1.1", "4.1", "9"]]
+    nan_new = [["wavefront", "cube", "64x48", 10, 128,
+                "nan", "nan", "nan"]]
+    # transient failure under --append keeps the good old row
+    assert benchmark._merge(old, nan_new) == old
+    # with no old row for the config, the failure stays loud
+    other = [["wavefront", "cube", "64x48", "20", "128", "2", "3", "9"]]
+    assert benchmark._merge(other, nan_new) == other + nan_new
+
+
+def test_append_partial_failure_keeps_csvs_consistent(
+        tmp_path, monkeypatch):
+    """A config that fails AFTER its warm-up run (run 0 lands, run 1
+    raises) must leave the old CSVs untouched AND mutually consistent:
+    the stray warm-up raw row must not evict the config's old raw rows
+    while its nan avg row (filtered by _merge) keeps the old avg row
+    (round-3 review finding)."""
+    monkeypatch.chdir(tmp_path)
+    old_raw = [
+        ["wavefront", "cube", "64x48", "10", "128", "0", "1.0", "4.0",
+         "100"],
+        ["wavefront", "cube", "64x48", "10", "128", "1", "1.1", "4.1",
+         "100"],
+    ]
+    old_avg = [["wavefront", "cube", "64x48", "10", "128", "1.1",
+                "4.1", "100"]]
+    benchmark._write_csvs(old_raw, old_avg)
+
+    def fake_run_once(scene, flag, d, s, width, height,
+                      timeout=None, seed=0):
+        if seed == 0:
+            return 1.0, 100, 0.1  # warm-up succeeds
+        raise RuntimeError("device stall")
+
+    monkeypatch.setattr(benchmark, "run_once", fake_run_once)
+    monkeypatch.setattr(sys, "argv", [
+        "benchmark.py", "--append", "--scenes", "cube",
+        "--renderers", "wavefront", "--pairs", "10:128",
+        "--width", "64", "--height", "48", "--runs", "2"])
+    benchmark.main()
+    raw, avg = benchmark._read_csvs()
+    assert raw == old_raw  # no stray warm-up row, old rows intact
+    assert avg == old_avg  # nan row filtered, old avg row survives
+
+
 def test_stall_warning_flags_outlier_run():
     # (time_s, mrays, total) triples; the 4470s run vs 157s siblings
     per_run = [(157.5, 3.69, 581e6), (4469.9, 0.13, 581e6)]
