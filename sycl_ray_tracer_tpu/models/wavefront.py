@@ -563,9 +563,19 @@ def render_wavefront(scene, cam: Camera, *, width: int, height: int,
 
     n = width * height
 
-    # Batch samples into waves of up to ~16M rays per queue (measured
-    # on v5e at 1024x1024; override with SRT_WAVE_RAYS).
-    wave_rays = int(os.environ.get("SRT_WAVE_RAYS", str(16 << 20)))
+    # Batch samples into waves. Bigger sorted pools tighten packet
+    # coherence (the compaction sort groups more rays per dir6_morton
+    # cell -> smaller visit unions), measured at the headline config
+    # (sponza_proc 1024^2 spp64 d10, tools/probe_wave_size.py):
+    # 16M waves 4.71 / 32M 5.03 / one 67M wave 5.24 Mrays/s — the
+    # whole-frame pool wins +11% even though a single wave forfeits
+    # the SRT_WAVE_THREADS overlap entirely. Default: ONE wave when
+    # the frame fits ~68M rays (the measured point; ~4.3 GB of queue
+    # at f32), else 32M waves (two concurrent threads stay within
+    # HBM, and 32M measured +7% over 16M). SRT_WAVE_RAYS overrides.
+    wave_rays = int(os.environ.get(
+        "SRT_WAVE_RAYS",
+        str(spp * n if spp * n <= (68 << 20) else 32 << 20)))
     waves = max(1, min(spp, wave_rays // n))
     # Half-precision queue payload (dir/att/radiance), the reference's
     # fp16 RayData quirk (camera.hpp:12-63). Off by default: measured

@@ -73,7 +73,14 @@ def _render_sharded_wavefront_hostloop(
     n = width * height
     n_local = n // sp
     spp_local = spp // dp
-    wave_rays = int(os.environ.get("SRT_WAVE_RAYS", str(16 << 20)))
+    # Same adaptive wave sizing as the single-chip loop (one wave when
+    # the shard-local frame fits ~68M rays, else 32M waves — see
+    # render_wavefront and tools/probe_wave_size.py for the
+    # measurements), applied to the per-shard ray count.
+    total_local = spp_local * n_local
+    wave_rays = int(os.environ.get(
+        "SRT_WAVE_RAYS",
+        str(total_local if total_local <= (68 << 20) else 32 << 20)))
     waves = max(1, min(spp_local, wave_rays // n_local))
     f16_queue = os.environ.get("SRT_F16_QUEUE") == "1"
     seed_u = jnp.uint32(seed)
