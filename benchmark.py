@@ -151,6 +151,10 @@ def main():
                  (10, 32), (10, 128), (10, 256), (10, 512)]
     else:
         pairs = [(d, s) for d in args.depths for s in args.samples]
+    # the reference's matrix lists 10:128 on both sweep axes; running
+    # it twice would append two avg rows for one config (the round-3
+    # CSVs shipped with such duplicates) — measure each config once
+    pairs = list(dict.fromkeys(pairs))
     resolutions = [tuple(int(x) for x in r.split("x"))
                    for r in args.resolutions] if args.resolutions \
         else [(args.width, args.height)]
