@@ -402,7 +402,8 @@ def _chunked_wave(scene, cam: Camera, seed, s, w, *, width: int,
     while i0 < max_depth and count > 0:
         b = bucket_of(count, r)
         if q[0].shape[0] != b:
-            q = tuple(a[:b] for a in q)
+            from sycl_ray_tracer_tpu.models.wavefront import shrink_queue
+            q = shrink_queue(q, b=b)
         i_hi = min(i0 + chunk, max_depth)
         q, res, rays, live = _chunk_next(
             scene, q, res, rays, key0, jnp.int32(i0),

@@ -101,6 +101,19 @@ def interleave_waves(run_wave, specs, *, serial: bool = False):
     return [run_wave(*sw) for sw in specs]
 
 
+@functools.partial(jax.jit, static_argnames=("b",))
+def shrink_queue(cols, *, b: int):
+    """Slice every queue column to the next bucket size in ONE device
+    program. Warm cost is identical to 13 eager `a[:b]` slices
+    (~64 ms either way at 48M->32M, tools/probe_shrink.py), but the
+    eager form compiles THIRTEEN single-slice programs per (in, out)
+    shape transition — 167 s vs 0.6 s of warm-up on the remote-compile
+    backend, across every bucket transition of every sweep config.
+    (No donation: the smaller outputs can't alias the inputs, and the
+    host drops its source refs right after the call anyway.)"""
+    return tuple(a[:b] for a in cols)
+
+
 def bucket_of(c: int, cap: int, floor_bits: int = 16) -> int:
     """Program-shape bucket for a live count of c (host-side int math).
 
@@ -599,7 +612,7 @@ def render_wavefront(scene, cam: Camera, *, width: int, height: int,
             t0 = _time.perf_counter() if profile else 0.0
             b = bucket_of(count, cap)
             if state[0].shape[0] != b:
-                state = tuple(a[:b] for a in state[:13]) + state[13:]
+                state = shrink_queue(state[:13], b=b) + state[13:]
             state, term = _bounce_step(scene, state, key_seed, bounce,
                                        capacity=b, rr=rr,
                                        primary=(bounce == 0),
