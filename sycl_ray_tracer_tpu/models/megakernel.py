@@ -388,7 +388,8 @@ def _chunked_wave(scene, cam: Camera, seed, s, w, *, width: int,
 
     Returns (linear accumulator [n, 3] summed over the wave's samples,
     per-bounce ray tallies)."""
-    from sycl_ray_tracer_tpu.models.wavefront import bucket_of
+    from sycl_ray_tracer_tpu.models.wavefront import (bucket_of,
+                                                      shrink_queue)
 
     n = width * height
     r = w * n
@@ -402,7 +403,6 @@ def _chunked_wave(scene, cam: Camera, seed, s, w, *, width: int,
     while i0 < max_depth and count > 0:
         b = bucket_of(count, r)
         if q[0].shape[0] != b:
-            from sycl_ray_tracer_tpu.models.wavefront import shrink_queue
             q = shrink_queue(q, b=b)
         i_hi = min(i0 + chunk, max_depth)
         q, res, rays, live = _chunk_next(

@@ -22,8 +22,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
-NSRC = int(float(sys.argv[1]) * 1e6) if len(sys.argv) > 1 else 48 << 20
-NDST = int(float(sys.argv[2]) * 1e6) if len(sys.argv) > 2 else 32 << 20
+NSRC = int(float(sys.argv[1]) * 1e6) if len(sys.argv) > 1 else int(48e6)
+NDST = int(float(sys.argv[2]) * 1e6) if len(sys.argv) > 2 else int(32e6)
 REPS = int(sys.argv[3]) if len(sys.argv) > 3 else 4
 
 
