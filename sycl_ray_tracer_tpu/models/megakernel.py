@@ -297,24 +297,25 @@ def _scatter_results(res, st: PathState, orig):
             rz.at[orig].set(st.result.z))
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "width", "height", "max_depth", "waves", "rr", "sort_every",
-    "final"),
-    donate_argnums=())
-def _chunk_first(scene, cam: Camera, seed, sample_offset, i_hi, *,
-                 width: int, height: int, max_depth: int, waves: int,
-                 rr: bool, sort_every: int, final: bool = False):
-    """Wave bring-up + bounces [0, i_hi): camera rays, per-lane keys,
-    the peeled primary-config bounce 0, then the chunk loop. Returns
+def _chunk_first_body(scene, cam: Camera, seed, sample_idx0, pix0,
+                      i_hi, *, n_local: int, width: int,
+                      max_depth: int, waves: int, rr: bool,
+                      sort_every: int, final: bool = False):
+    """Unjitted wave bring-up + bounces [0, i_hi): camera rays,
+    per-lane keys, the peeled primary-config bounce 0, then the chunk
+    loop. Parameterized on a GLOBAL pixel offset (pix0) and absolute
+    sample offset (sample_idx0) so the sharded host loop
+    (parallel/mesh.py) can run this same core per shard with
+    shard-local pixel/sample slices while every (global pixel,
+    absolute sample) draws the single-chip key stream. Returns
     (queue cols, result slots, tallies, key0, live count)."""
-    n = width * height
-    r = waves * n
+    r = waves * n_local
     lane = jnp.arange(r, dtype=jnp.uint32)
-    pix = lane % jnp.uint32(n)
+    pix = jnp.asarray(pix0, jnp.uint32) + lane % jnp.uint32(n_local)
     px = (pix % jnp.uint32(width)).astype(jnp.int32)
     py = (pix // jnp.uint32(width)).astype(jnp.int32)
-    sample_idx = (jnp.asarray(sample_offset, jnp.uint32)
-                  + lane // jnp.uint32(n))
+    sample_idx = (jnp.asarray(sample_idx0, jnp.uint32)
+                  + lane // jnp.uint32(n_local))
     key0 = _rng.make_key(
         _rng.make_key(jnp.asarray(seed, jnp.uint32), sample_idx), pix)
     o, d = generate_rays(cam, px, py, key0)
@@ -347,15 +348,27 @@ def _chunk_first(scene, cam: Camera, seed, sample_offset, i_hi, *,
     return _q_of(st, orig), res, rays, key0, live
 
 
-@functools.partial(jax.jit, static_argnames=("rr", "sort_every",
-                                             "final"),
-                   donate_argnums=(1, 2, 3))
-def _chunk_next(scene, q, res, rays, key0, i_lo, i_hi, *, rr: bool,
-                sort_every: int, final: bool = False):
-    """Bounces [i_lo, i_hi) on a shrunk queue (every input row is a
-    real lane: the inter-chunk slice keeps a live-first-sorted prefix
-    plus at most bucket-padding DEAD rows, whose done flag rides in the
-    queue). Queue, result slots, and tallies are donated."""
+@functools.partial(jax.jit, static_argnames=(
+    "width", "height", "max_depth", "waves", "rr", "sort_every",
+    "final"),
+    donate_argnums=())
+def _chunk_first(scene, cam: Camera, seed, sample_offset, i_hi, *,
+                 width: int, height: int, max_depth: int, waves: int,
+                 rr: bool, sort_every: int, final: bool = False):
+    """Single-chip jit wrapper over _chunk_first_body (whole frame,
+    pixel offset 0)."""
+    return _chunk_first_body(
+        scene, cam, seed, sample_offset, jnp.uint32(0), i_hi,
+        n_local=width * height, width=width, max_depth=max_depth,
+        waves=waves, rr=rr, sort_every=sort_every, final=final)
+
+
+def _chunk_next_body(scene, q, res, rays, key0, i_lo, i_hi, *,
+                     rr: bool, sort_every: int, final: bool = False):
+    """Unjitted bounces [i_lo, i_hi) on a shrunk queue (every input
+    row is a real lane: the inter-chunk slice keeps a live-first-sorted
+    prefix plus at most bucket-padding DEAD rows, whose done flag rides
+    in the queue). Shared with the sharded host loop."""
     st, orig = _st_of(q)
     key = jnp.take(key0, orig, axis=0)
     st, orig, rays = _chunk_loop(scene, st, orig, key, key0, rays,
@@ -364,6 +377,17 @@ def _chunk_next(scene, q, res, rays, key0, i_lo, i_hi, *, rr: bool,
     res = _scatter_results(res, st, orig)
     live = jnp.sum((~st.done).astype(jnp.int32))
     return _q_of(st, orig), res, rays, live
+
+
+@functools.partial(jax.jit, static_argnames=("rr", "sort_every",
+                                             "final"),
+                   donate_argnums=(1, 2, 3))
+def _chunk_next(scene, q, res, rays, key0, i_lo, i_hi, *, rr: bool,
+                sort_every: int, final: bool = False):
+    """Single-chip jit wrapper over _chunk_next_body. Queue, result
+    slots, and tallies are donated."""
+    return _chunk_next_body(scene, q, res, rays, key0, i_lo, i_hi,
+                            rr=rr, sort_every=sort_every, final=final)
 
 
 def _chunked_wave(scene, cam: Camera, seed, s, w, *, width: int,
@@ -414,6 +438,55 @@ def _chunked_wave(scene, cam: Camera, seed, s, w, *, width: int,
     return jnp.stack(res, axis=-1).reshape(w, n, 3).sum(axis=0), rays
 
 
+def mk_cadence(scene, max_depth: int) -> Tuple[int, int, int]:
+    """(chunk, sort_every, tl_chain) cadence policy — shared by the
+    single-chip driver and the sharded host loop (parallel/mesh.py) so
+    the two cannot drift.
+
+    Per-bounce coherence re-sort (see _sample_one): pays on the TPU
+    packet kernel (the sort is the same argsort+packed-take as
+    wavefront compaction); the CPU/XLA traversal gains nothing, so
+    default off there. SRT_MK_SORT=k sorts every k bounces (0=off).
+    Cadence sweep (tools/tune_mk_cadence.py, PLAN_TPU round-3
+    facts): every bounce wins through d30 (3.10 vs 2.95 at chunk3)
+    but every-2 wins at d50 (2.79 vs 2.50 at chunk4) — late-bounce
+    survival is high, so re-sorting barely shrinks-reorders anything
+    and the argsort+take is pure cost. Crossover measured between
+    d30 and d50; the default flips past the verified-shallow bound.
+    Treelet scenes (tl_count > 1) take the deep-depth cadence at ALL
+    depths: the 512^2 matrix showed minecraft_proc JUMPING 2.29 ->
+    2.54 Mrays/s from d30 (chunk3/sort1) to d40 (chunk2/sort2) —
+    deeper depth, higher rate — because every chained treelet pass
+    repeats the dead-lane tax, so the tighter reslicing pays
+    tl_count times while the extra sorts amortize over tl_count
+    kernel passes (measured A/B at d10 s128: 2.45 -> 2.73, +11%;
+    d20 2.34 -> 2.62, d30 2.29 -> 2.58 — PLAN_TPU round-3 facts).
+
+    Bounce-chunked mode (see _chunked_wave): k fused bounce
+    iterations per program, queue shrunk to the live bucket between
+    programs. Default on TPU; SRT_MK_CHUNK=0 disables. Smaller chunks
+    won the cadence sweep monotonically (d10: c3 3.51 > c2 3.44 > c4
+    3.39 > c6 3.14 > c8 2.97; d50 at sort2: c2 2.87 > c3 2.81 > c4
+    2.79 > c6 2.66): reslicing the queue more often beats fusing more
+    bounces per program, and at deep depth the shrink compounds
+    enough that chunk=2 overtakes 3. Treelet scenes take chunk=2 at
+    all depths.
+    """
+    import os
+
+    tl_chain = max(1, getattr(scene, "tl_count", 0) or 1)
+    if jax.default_backend() == "tpu":
+        shallow = max_depth <= 30 and tl_chain == 1
+        default_sort = 1 if shallow else 2
+        default_chunk = 3 if shallow else 2
+    else:
+        default_sort = 0
+        default_chunk = 0
+    sort_every = int(os.environ.get("SRT_MK_SORT", str(default_sort)))
+    chunk = int(os.environ.get("SRT_MK_CHUNK", str(default_chunk)))
+    return chunk, sort_every, tl_chain
+
+
 def render_megakernel(scene, cam: Camera, *, width: int, height: int,
                       spp: int, max_depth: int, seed: int = 0,
                       rr: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -428,30 +501,7 @@ def render_megakernel(scene, cam: Camera, *, width: int, height: int,
     import os
 
     wave_rays = int(os.environ.get("SRT_WAVE_RAYS", str(8 << 20)))
-    # Per-bounce coherence re-sort (see _sample_one): pays on the TPU
-    # packet kernel (the sort is the same argsort+packed-take as
-    # wavefront compaction); the CPU/XLA traversal gains nothing, so
-    # default off there. SRT_MK_SORT=k sorts every k bounces (0=off).
-    # Cadence sweep (tools/tune_mk_cadence.py, PLAN_TPU round-3
-    # facts): every bounce wins through d30 (3.10 vs 2.95 at chunk3)
-    # but every-2 wins at d50 (2.79 vs 2.50 at chunk4) — late-bounce
-    # survival is high, so re-sorting barely shrinks-reorders anything
-    # and the argsort+take is pure cost. Crossover measured between
-    # d30 and d50; the default flips past the verified-shallow bound.
-    # Treelet scenes (tl_count > 1) take the deep-depth cadence at ALL
-    # depths: the 512^2 matrix showed minecraft_proc JUMPING 2.29 ->
-    # 2.54 Mrays/s from d30 (chunk3/sort1) to d40 (chunk2/sort2) —
-    # deeper depth, higher rate — because every chained treelet pass
-    # repeats the dead-lane tax, so the tighter reslicing pays
-    # tl_count times while the extra sorts amortize over tl_count
-    # kernel passes (measured A/B at d10 s128: 2.45 -> 2.73, +11%;
-    # d20 2.34 -> 2.62, d30 2.29 -> 2.58 — PLAN_TPU round-3 facts).
-    tl_chain = max(1, getattr(scene, "tl_count", 0) or 1)
-    if jax.default_backend() == "tpu":
-        default_sort = 1 if (max_depth <= 30 and tl_chain == 1) else 2
-    else:
-        default_sort = 0
-    sort_every = int(os.environ.get("SRT_MK_SORT", str(default_sort)))
+    chunk, sort_every, tl_chain = mk_cadence(scene, max_depth)
     n = width * height
     # The megakernel runs lanes x max_depth bounce iterations in ONE
     # device program; this box's runtime kills multi-minute single
@@ -466,20 +516,6 @@ def render_megakernel(scene, cam: Camera, *, width: int, height: int,
     # on exactly this: minecraft_proc (4 treelets) at d30 hit the
     # watchdog at the 64M cap calibrated on single-tree scenes.
     lane_bounces //= tl_chain
-    # Bounce-chunked mode (see _chunked_wave): k fused
-    # bounce iterations per program, queue shrunk to the live bucket
-    # between programs. Default on TPU; SRT_MK_CHUNK=0 disables.
-    # Smaller chunks won the cadence sweep monotonically (d10: c3
-    # 3.51 > c2 3.44 > c4 3.39 > c6 3.14 > c8 2.97; d50 at sort2:
-    # c2 2.87 > c3 2.81 > c4 2.79 > c6 2.66): reslicing the queue
-    # more often beats fusing more bounces per program, and at deep
-    # depth the shrink compounds enough that chunk=2 overtakes 3.
-    # Treelet scenes take chunk=2 at all depths (see default_sort).
-    if jax.default_backend() == "tpu":
-        default_chunk = 3 if (max_depth <= 30 and tl_chain == 1) else 2
-    else:
-        default_chunk = 0
-    chunk = int(os.environ.get("SRT_MK_CHUNK", str(default_chunk)))
     # max_depth=0 renders black with zero rays (the reference's loop
     # never runs) — only the plain engine expresses that, so the
     # chunked path requires at least one bounce.

@@ -280,6 +280,157 @@ def _render_sharded_wavefront_hostloop(
     return img, jnp.asarray(np.minimum(rays, 2**31 - 1).astype(np.int32))
 
 
+def _render_sharded_megakernel_hostloop(
+        scene, cam: Camera, *, width: int, height: int, spp: int,
+        max_depth: int, seed: int, mesh: Mesh, rr: bool,
+        chunk: int, sort_every: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Host-driven sharded megakernel: the FAST single-chip engine
+    (bounce-chunked + in-program coherence re-sort, _chunked_wave) run
+    per shard under shard_map (round-4 VERDICT: the previous sharded
+    megakernel traced the unchunked, unsorted core — exactly the
+    fast-path/sharded-path divergence round 2 flagged for wavefront).
+
+    Structure per chunk: ONE jitted shard_map program runs k fused
+    bounce iterations on every shard's queue; the host reads back only
+    per-shard live counts and picks the next GLOBAL bucket from their
+    max, so every shard compiles the same shapes (the same protocol as
+    the sharded wavefront loop above). dp shards samples, sp shards
+    pixels; per-lane keys depend only on (seed, absolute sample,
+    global pixel), so the sharded estimator equals single-chip.
+    """
+    from sycl_ray_tracer_tpu.models.megakernel import (
+        _chunk_first_body, _chunk_next_body)
+    from sycl_ray_tracer_tpu.models.wavefront import (
+        bucket_of as _bucket_of, interleave_waves)
+
+    dp = mesh.shape["dp"]
+    sp = mesh.shape["sp"]
+    n = width * height
+    n_local = n // sp
+    spp_local = spp // dp
+    wave_rays = int(os.environ.get("SRT_WAVE_RAYS", str(8 << 20)))
+    lane_bounces = int(os.environ.get("SRT_MK_LANE_BOUNCES",
+                                      str(64 << 20)))
+    tl_chain = max(1, getattr(scene, "tl_count", 0) or 1)
+    lane_bounces //= tl_chain
+    bounces_per_program = min(chunk, max_depth)
+    waves = max(1, min(spp_local, wave_rays // n_local,
+                       lane_bounces
+                       // max(n_local * bounces_per_program, 1)))
+    seed_u = jnp.uint32(seed)
+    spec_q = P("dp", "sp", None)
+    spec_c = P("dp", "sp")
+    # queue layout (megakernel._q_of): 15 f32 + orig int32 + done bool
+
+    @functools.partial(jax.jit, static_argnames=("w", "final"))
+    def mk_first(scene, cam, s_local, i_hi, *, w: int, final: bool):
+        cap = w * n_local
+
+        def fn(scene, cam):
+            dpi = jax.lax.axis_index("dp")
+            spi = jax.lax.axis_index("sp")
+            s_abs = (jnp.asarray(s_local, jnp.uint32)
+                     + jnp.uint32(dpi) * jnp.uint32(spp_local))
+            pix0 = jnp.uint32(spi) * jnp.uint32(n_local)
+            q, res, rays, key0, live = _chunk_first_body(
+                scene, cam, seed_u, s_abs, pix0, i_hi,
+                n_local=n_local, width=width, max_depth=max_depth,
+                waves=w, rr=rr, sort_every=sort_every, final=final)
+            cols = tuple(q) + tuple(res) + (key0,)
+            return (tuple(c.reshape(1, 1, cap) for c in cols)
+                    + (rays.reshape(1, 1, max_depth),
+                       live.reshape(1, 1)))
+
+        return jax.shard_map(
+            fn, mesh=mesh, in_specs=(P(), P()),
+            out_specs=tuple([spec_q] * 21) + (spec_q, spec_c),
+            check_vma=False)(scene, cam)
+
+    @functools.partial(jax.jit,
+                       static_argnames=("capacity", "final"),
+                       donate_argnums=(1,))
+    def mk_next(scene, state, i_lo, i_hi, *, capacity: int,
+                final: bool):
+        """One k-bounce chunk for every shard. `state` is the 23-tuple
+        (17 queue cols, 3 result slots, key0, rays, live); queue/
+        result widths arrive pre-sliced to `capacity`, result slots
+        and key0 stay at full wave width."""
+        def fn(scene, *st):
+            q = [c.reshape(capacity) for c in st[:17]]
+            full = st[17].shape[-1]
+            res = tuple(c.reshape(full) for c in st[17:20])
+            key0 = st[20].reshape(full)
+            rays = st[21].reshape(max_depth)
+            q, res, rays, live = _chunk_next_body(
+                scene, q, res, rays, key0, i_lo, i_hi, rr=rr,
+                sort_every=sort_every, final=final)
+            return (tuple(c.reshape(1, 1, capacity) for c in q)
+                    + tuple(c.reshape(1, 1, full) for c in res)
+                    + (key0.reshape(1, 1, full),
+                       rays.reshape(1, 1, max_depth),
+                       live.reshape(1, 1)))
+
+        return jax.shard_map(
+            fn, mesh=mesh,
+            in_specs=(P(),) + tuple([spec_q] * 22) + (spec_c,),
+            out_specs=tuple([spec_q] * 22) + (spec_c,),
+            check_vma=False)(scene, *state)
+
+    @functools.partial(jax.jit, static_argnames=("b",))
+    def shrink(q17, *, b: int):
+        # one fused slice program per shape transition (the sharded
+        # analog of wavefront.shrink_queue; same compile-mass
+        # rationale, tools/probe_shrink.py)
+        return tuple(a[:, :, :b] for a in q17)
+
+    def run_wave(s: int, w: int):
+        cap = w * n_local
+        i_hi0 = min(chunk, max_depth)
+        state = mk_first(scene, cam, jnp.uint32(s), jnp.int32(i_hi0),
+                         w=w, final=(i_hi0 >= max_depth))
+        count_max = int(np.asarray(state[22]).max())
+        i0 = chunk
+        while i0 < max_depth and count_max > 0:
+            b = _bucket_of(count_max, cap, floor_bits=14)
+            if state[0].shape[-1] != b:
+                state = shrink(state[:17], b=b) + state[17:]
+            i_hi = min(i0 + chunk, max_depth)
+            state = mk_next(scene, state, jnp.int32(i0),
+                            jnp.int32(i_hi), capacity=b,
+                            final=(i_hi >= max_depth))
+            count_max = int(np.asarray(state[22]).max())
+            i0 = i_hi
+        # per-shard linear accumulator [dp, sp, n_local, 3] (the
+        # result slots sum over the wave's local samples) + tallies
+        acc = jnp.stack(state[17:20], axis=-1) \
+            .reshape(dp, sp, w, n_local, 3).sum(axis=2)
+        return acc, state[21]
+
+    specs = []
+    s = 0
+    while s < spp_local:
+        w = min(waves, spp_local - s)
+        specs.append((s, w))
+        s += w
+    results = interleave_waves(run_wave, specs)
+
+    combined = None
+    rays = None
+    for acc, rays_w in results:
+        combined = acc if combined is None else combined + acc
+        rays = rays_w if rays is None else rays + rays_w
+
+    @jax.jit
+    def finish(acc, rays):
+        a = acc.sum(axis=0).reshape(n, 3)
+        img = linear_to_gamma(a * (1.0 / spp))
+        return (img.reshape(height, width, 3),
+                rays.sum(axis=(0, 1)).astype(jnp.int32))
+
+    return finish(combined, rays)
+
+
 def render_sharded(scene, cam: Camera, *, width: int, height: int,
                    spp: int, max_depth: int, seed: int = 0,
                    mesh: Optional[Mesh] = None,
@@ -291,7 +442,9 @@ def render_sharded(scene, cam: Camera, *, width: int, height: int,
 
     Wavefront renders through the host-driven fast path
     (_render_sharded_wavefront_hostloop); megakernel through the
-    traced shard_map core (accumulate_megakernel)."""
+    host-driven chunked fast path whenever the single-chip driver
+    would chunk (mk_cadence), else the traced shard_map core
+    (accumulate_megakernel)."""
     if mesh is None:
         mesh = make_mesh()
     dp = mesh.shape["dp"]
@@ -307,6 +460,13 @@ def render_sharded(scene, cam: Camera, *, width: int, height: int,
             max_depth=max_depth, seed=seed, mesh=mesh, rr=rr)
     if renderer != "megakernel":
         raise ValueError(f"unknown renderer {renderer!r}")
+    from sycl_ray_tracer_tpu.models.megakernel import mk_cadence
+    chunk, sort_every, _ = mk_cadence(scene, max_depth)
+    if chunk > 0 and max_depth >= 1:
+        return _render_sharded_megakernel_hostloop(
+            scene, cam, width=width, height=height, spp=spp,
+            max_depth=max_depth, seed=seed, mesh=mesh, rr=rr,
+            chunk=chunk, sort_every=sort_every)
     spp_local = spp // dp
     accumulate = accumulate_megakernel
 
