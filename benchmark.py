@@ -29,7 +29,7 @@ TOTAL_RE = re.compile(r"Total rays: ([0-9]+)")
 
 
 def run_once(scene, renderer_flag, depth, samples, width, height,
-             timeout=3600, seed=0):
+             timeout=3600, seed=0, devices=1):
     # seed varies per run: the TPU runtime memoizes back-to-back
     # identical executions (CLAUDE.md), which would make repeat runs
     # of an identical config report fantasy times
@@ -37,6 +37,8 @@ def run_once(scene, renderer_flag, depth, samples, width, height,
            renderer_flag, "-d", str(depth), "-s", str(samples),
            "--width", str(width), "--height", str(height),
            "--seed", str(seed)]
+    if devices > 1:
+        cmd += ["--devices", str(devices)]
     out = subprocess.run(cmd, capture_output=True, text=True,
                          timeout=timeout)
     if out.returncode != 0:
@@ -48,7 +50,7 @@ def run_once(scene, renderer_flag, depth, samples, width, height,
 
 
 def run_once_inproc(ctx, scene, renderer, depth, samples, width,
-                    height, seed=0):
+                    height, seed=0, devices=1):
     """One timed render sharing a process (and its XLA compilations)
     with every other config. The axon backend's remote compiles are
     NOT serialized by the persistent jax compile cache, so the
@@ -72,6 +74,24 @@ def run_once_inproc(ctx, scene, renderer, depth, samples, width,
 
     cam = make_camera(width, height, host.camera_position,
                       host.camera_direction, host.camera_focal_length)
+    if devices > 1:
+        # sharded benchmark mode (--devices N): the moment a real
+        # multi-chip slice is attached, the same sweep produces the
+        # multi-chip headline with zero new code (sample-axis mesh,
+        # parallel/mesh.py)
+        from sycl_ray_tracer_tpu.parallel.mesh import (make_mesh,
+                                                       render_sharded)
+        if "mesh" not in ctx:
+            ctx["mesh"] = make_mesh(dp=devices)
+        t0 = time.perf_counter()
+        img, rays = render_sharded(
+            dev, cam, width=width, height=height, spp=samples,
+            max_depth=depth, seed=seed, mesh=ctx["mesh"],
+            renderer=renderer)
+        np.asarray(img)
+        total = int(np.asarray(rays).astype(np.int64).sum())
+        secs = time.perf_counter() - t0
+        return secs, total, total / secs / 1e6
     render = get_renderer(renderer)
     t0 = time.perf_counter()
     img, rays = render(dev, cam, width=width, height=height,
@@ -115,6 +135,11 @@ def main():
                     help="render in-process instead of one CLI "
                          "subprocess per run (shares compilations "
                          "across the whole sweep; see run_once_inproc)")
+    ap.add_argument("--devices", type=int, default=1,
+                    help="shard every run over this many devices "
+                         "(sample-axis mesh; parallel/mesh.py) — the "
+                         "one-command multi-chip benchmark mode for a "
+                         "real TPU slice")
     ap.add_argument("--append", action="store_true",
                     help="keep existing CSV rows; new rows replace "
                          "only matching (renderer, scene, res, depth, "
@@ -187,12 +212,13 @@ def main():
                             if args.inproc:
                                 t, total, mrays = run_once_inproc(
                                     ctx, scene, renderer, d, s,
-                                    width, height, seed=r)
+                                    width, height, seed=r,
+                                    devices=args.devices)
                             else:
                                 t, total, mrays = run_once(
                                     scene, flag, d, s, width,
                                     height, timeout=args.timeout,
-                                    seed=r)
+                                    seed=r, devices=args.devices)
                             print(f"{scene} {renderer} {res} d={d} "
                                   f"s={s} run={r}: {mrays:.2f} Mrays/s"
                                   + (" (warm-up, discarded)"
