@@ -148,6 +148,31 @@ def build_device_scene(host: HostScene,
     """
     import os
 
+    # Pre-OOM guard for baked instancing (round-4 VERDICT #6): ingest
+    # bakes every glTF instance to world space (utils/gltf.py), so R
+    # instances of one mesh cost R x geometry in HBM — measured
+    # 540-910 B/tri of device tables (tri_v/n/uv + shade_tbl + kernel
+    # tiles + BVH with its power-of-8 padding steps,
+    # tools/probe_instancing.py: 10k cube instances = 120K tris =
+    # 64 MB, 40k = 480K tris = 435 MB). The reference instead shares
+    # one Embree BLAS per primitive (scene.cpp:435-439), so an
+    # instance-heavy scene that is tiny there can exhaust HBM here.
+    # Fail fast with the arithmetic instead of a runtime OOM mid-
+    # render. SRT_MAX_SCENE_BYTES overrides (v5e HBM is 16 GB; leave
+    # headroom for queues/accumulators).
+    max_scene = int(float(os.environ.get("SRT_MAX_SCENE_BYTES",
+                                         8e9)))
+    est = host.num_triangles * 910
+    if est > max_scene:
+        raise ValueError(
+            f"scene has {host.num_triangles:,} baked world-space "
+            f"triangles (~{est/1e9:.1f} GB of device tables, over the "
+            f"{max_scene/1e9:.1f} GB SRT_MAX_SCENE_BYTES bound). "
+            "Instancing is baked at ingest (utils/gltf.py): R glTF "
+            "instances of one mesh cost R x geometry here, unlike the "
+            "reference's shared-BLAS instancing. Reduce instance "
+            "count/mesh density or raise SRT_MAX_SCENE_BYTES.")
+
     depth, ni, _, _ = wbvh.plan(host.num_triangles, leaf_size)
     if os.environ.get("SRT_JIT_BUILD") == "1":
         import jax
