@@ -149,6 +149,11 @@ def make_kernel(iters, mode):
     def kernel(wtiles_ref, ltiles_ref, rays_ref, out_ref, it_ref):
         jrow = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
         jrow_w = jax.lax.broadcasted_iota(jnp.int32, (8, RB * 128), 0)
+        if mode == "mmk128":
+            # K padded 8 -> 128 (rays replicated 16x in sublanes):
+            # distinguishes "small-K dot is VPU-lowered" from "matmul
+            # fixed cost" — same useful work, full-K MXU shape
+            rays_k128 = jnp.concatenate([rays_ref[:, :]] * 16, axis=0)
 
         # per-row views (mt mode)
         ox = [rays_ref[0:1, i * 128:(i + 1) * 128] for i in range(RB)]
@@ -221,6 +226,20 @@ def make_kernel(iters, mode):
                     jnp.concatenate(trib_n, axis=1),
                     jnp.concatenate(ub_n, axis=1),
                     jnp.concatenate(vb_n, axis=1))
+
+        def mmk128_body(c):
+            it, tb, trib, ub, vb = c
+            lfc = it % NL
+            wtile = wtiles_ref[lfc]
+            w128 = jnp.concatenate([wtile[:, 0:48]] * 16, axis=0)
+            out = jax.lax.dot_general(
+                w128, rays_k128,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)   # (48, RB*128)
+            s = (out[0:8] + out[8:16] + out[16:24]
+                 + out[24:32] + out[32:40] + out[40:48])
+            tb = jnp.minimum(tb, jnp.min(s, axis=0, keepdims=True))
+            return (it + 1, tb, trib, ub, vb)
 
         def mxu_body(c):
             it, tb, trib, ub, vb = c
@@ -296,7 +315,8 @@ def make_kernel(iters, mode):
                     jnp.concatenate(trib_n, axis=1), ub, vb)
 
         body = {"mt": mt_body, "mm": mxu_body, "mxu": mxu_body,
-                "mxu_nouv": mxu_body, "mxu8": mxu8_body}[mode]
+                "mxu_nouv": mxu_body, "mxu8": mxu8_body,
+                "mmk128": mmk128_body}[mode]
         it, tb, trib, ub, vb = jax.lax.while_loop(cond, body, carry0)
         acc = tb + trib.astype(jnp.float32) + ub + vb
         out_ref[...] = acc.reshape(RB, 128)

@@ -27,6 +27,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 SPP = int(os.environ.get("BENCH_SPP", 64))
 DEPTH = int(os.environ.get("BENCH_DEPTH", 10))
 RES = int(os.environ.get("BENCH_RES", 1024))
+# non-square override (round-4 VERDICT #7: sweep the 1080p s128 shape
+# whose 265M-ray frames hard-fall to 32M waves)
+RES_W = int(os.environ.get("BENCH_W", RES))
+RES_H = int(os.environ.get("BENCH_H", RES))
 RUNS = int(os.environ.get("BENCH_RUNS", 2))
 
 
@@ -50,10 +54,12 @@ def main():
     host = load_glb(sponza_like_glb(scale=2))
     scene = build_device_scene(host)
     jax.block_until_ready(scene.bvh_nodes)
-    cam = make_camera(RES, RES, host.camera_position,
+    cam = make_camera(RES_W, RES_H, host.camera_position,
                       host.camera_direction, host.camera_focal_length)
-    print(f"# scene {host.num_triangles} tris, {RES}^2 spp{SPP} "
-          f"d{DEPTH}, device {jax.devices()[0]}", flush=True)
+    print(f"# scene {host.num_triangles} tris, {RES_W}x{RES_H} "
+          f"spp{SPP} d{DEPTH} threads="
+          f"{os.environ.get('SRT_WAVE_THREADS', '2')}, "
+          f"device {jax.devices()[0]}", flush=True)
 
     seed = 100  # fresh seed for EVERY run of every config (memoization)
     for m in sizes_m:
@@ -64,7 +70,7 @@ def main():
                 seed += 1
                 t0 = time.perf_counter()
                 img, rays = render_wavefront(
-                    scene, cam, width=RES, height=RES, spp=SPP,
+                    scene, cam, width=RES_W, height=RES_H, spp=SPP,
                     max_depth=DEPTH, seed=seed)
                 np.asarray(img)
                 dt = time.perf_counter() - t0
