@@ -230,84 +230,6 @@ def _traverse5_interpret(ct, lt, ni, k, o, d, cfmt="f32"):
         TP5.pl.pallas_call = orig
 
 
-def _traverse7_interpret(ct, lt, ni, k, o, d, active=None, t_init=None,
-                         walks=4, rpw=2, ki=1, ml=2):
-    import sycl_ray_tracer_tpu.ops.traverse_pallas7 as TP7
-    from jax.experimental import pallas as pl
-
-    orig = pl.pallas_call
-
-    def patched(*a, **kw):
-        kw["interpret"] = True
-        return orig(*a, **kw)
-
-    TP7.pl.pallas_call = patched
-    try:
-        return TP7.traverse_packets7(ct, lt, ni, k, o, d, active=active,
-                                     t_init=t_init, walks=walks,
-                                     rpw=rpw, ki=ki, ml=ml)
-    finally:
-        TP7.pl.pallas_call = orig
-
-
-@pytest.mark.parametrize("walks,rpw,ki,ml",
-                         [(1, 8, 2, 3), (2, 4, 2, 2), (4, 2, 1, 2),
-                          (8, 1, 1, 1)])
-def test_packet_kernel7_matches_brute(rs, walks, rpw, ki, ml):
-    """v7 W-walk kernel: every (walks, rpw) split reports the exact
-    closest hit (brute-force reference), including padding lanes."""
-    n, k = 1500, 8
-    c = rs.uniform(-5, 5, (n, 3)).astype(np.float32)
-    tri = c[:, None, :] + rs.uniform(-0.3, 0.3, (n, 3, 3)).astype(np.float32)
-    bvh, sorted_v, _ = wbvh.build_np(tri, k)
-    ct, lt = _tiles_for(bvh, k)
-
-    r = 1500  # not a packet multiple: exercises padding
-    o_np = rs.uniform(-8, 8, (r, 3)).astype(np.float32)
-    d_np = rs.uniform(-1, 1, (r, 3)).astype(np.float32)
-    o = V3(*(jnp.asarray(o_np[:, i]) for i in range(3)))
-    d = V3(*(jnp.asarray(d_np[:, i]) for i in range(3)))
-
-    hit = _traverse7_interpret(ct, lt, bvh.num_internal, k, o, d,
-                               walks=walks, rpw=rpw, ki=ki, ml=ml)
-    t_b, id_b, _, _ = intersect_brute_np(o_np, d_np, np.asarray(sorted_v))
-    id1 = np.asarray(hit.tri)
-    t1 = np.asarray(hit.t)
-    assert ((id1 >= 0) == (id_b >= 0)).all()
-    both = id1 >= 0
-    assert (id1[both] == id_b[both]).all()
-    assert np.allclose(t1[both], t_b[both], rtol=1e-5, atol=1e-6)
-
-
-def test_packet_kernel7_active_and_tinit(rs):
-    """active mask + t_init chaining semantics match v5's contract:
-    inactive lanes report (t=0, tri=-1); lanes whose incumbent t_init
-    is closer than every scene hit also report tri=-1."""
-    n, k = 300, 8
-    c = rs.uniform(-2, 2, (n, 3)).astype(np.float32)
-    tri = c[:, None, :] + rs.uniform(-0.3, 0.3, (n, 3, 3)).astype(np.float32)
-    tri[0] = np.array([[-1, -1, 0], [1, -1, 0], [0, 1, 0]], np.float32)
-    bvh, _, _ = wbvh.build_np(tri, k)
-    ct, lt = _tiles_for(bvh, k)
-
-    r = 1024
-    o = V3(jnp.zeros(r), jnp.zeros(r), jnp.full(r, 8.0))
-    d = V3(jnp.zeros(r), jnp.zeros(r), jnp.full(r, -1.0))
-    active = jnp.asarray(np.arange(r) % 2 == 0)
-    hit = _traverse7_interpret(ct, lt, bvh.num_internal, k, o, d,
-                               active=active, walks=4, rpw=2)
-    tri_ids = np.asarray(hit.tri)
-    assert (tri_ids[1::2] == -1).all()
-    assert (tri_ids[0::2] >= 0).all()
-    assert (np.asarray(hit.t)[1::2] == 0).all()
-
-    # with an incumbent strictly closer than any hit, nothing reports
-    t_init = jnp.full((r,), 1e-3, jnp.float32)
-    hit2 = _traverse7_interpret(ct, lt, bvh.num_internal, k, o, d,
-                                t_init=t_init, walks=4, rpw=2)
-    assert (np.asarray(hit2.tri) == -1).all()
-
-
 def test_v5_leaf_ring_overflow_guard(rs):
     """Stress the SMEM leaf-ring occupancy guard (round-2 advisor
     finding: without gating, a pending-leaf backlog beyond ring

@@ -76,24 +76,12 @@ def main():
     from sycl_ray_tracer_tpu.ops.traverse_pallas5 import traverse_packets5
 
     from sycl_ray_tracer_tpu.ops.traverse_pallas6 import traverse_packets6
-    from sycl_ray_tracer_tpu.ops.traverse_pallas7 import traverse_packets7
 
     def make_impl(spec):
         # "v2" | "v5" | "v5-k3-m4" (ki=3, ml=4) | "v6-k2-m2"
-        # | "v7-w4-r2-k1-m2" (4 walks x 2 rows; rows arg ignored)
-        if spec.startswith("v7"):
-            kw = {}
-            for part in spec.split("-")[1:]:
-                if part.startswith("w"):
-                    kw["walks"] = int(part[1:])
-                elif part.startswith("r"):
-                    kw["rpw"] = int(part[1:])
-                elif part.startswith("k"):
-                    kw["ki"] = int(part[1:])
-                elif part.startswith("m"):
-                    kw["ml"] = int(part[1:])
-            return lambda *a, rows=None, **k: traverse_packets7(
-                *a, **k, **kw)
+        # (v7, the W-walk probe generation, was retired after its
+        # round-3 NO-GO; measurements live in PLAN_TPU round-3 facts
+        # and the code in git history)
         if spec.startswith(("v5", "v6")):
             fn = traverse_packets6 if spec.startswith("v6") \
                 else traverse_packets5
