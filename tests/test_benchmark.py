@@ -83,7 +83,7 @@ def test_append_partial_failure_keeps_csvs_consistent(
     benchmark._write_csvs(old_raw, old_avg)
 
     def fake_run_once(scene, flag, d, s, width, height,
-                      timeout=None, seed=0):
+                      timeout=None, seed=0, devices=1):
         if seed == 0:
             return 1.0, 100, 0.1  # warm-up succeeds
         raise RuntimeError("device stall")
