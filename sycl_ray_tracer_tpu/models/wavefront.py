@@ -584,11 +584,15 @@ def render_wavefront(scene, cam: Camera, *, width: int, height: int,
     # whole-frame pool wins +11% even though a single wave forfeits
     # the SRT_WAVE_THREADS overlap entirely. Default: ONE wave when
     # the frame fits ~68M rays (the measured point; ~4.3 GB of queue
-    # at f32), else 32M waves (two concurrent threads stay within
-    # HBM, and 32M measured +7% over 16M). SRT_WAVE_RAYS overrides.
+    # at f32), else 48M waves — the round-4 sweep AT the fallback
+    # shape (1920x1080 s128, 265M-ray frames) measured 32M 5.08 /
+    # 48M 5.13 Mrays/s and 64M RESOURCE_EXHAUSTED in-process (the
+    # 32M+48M bucket ladders fragment HBM before the ~67M-cap ladder
+    # allocates; a fresh process runs 67M fine at 1024^2).
+    # SRT_WAVE_RAYS overrides.
     wave_rays = int(os.environ.get(
         "SRT_WAVE_RAYS",
-        str(spp * n if spp * n <= (68 << 20) else 32 << 20)))
+        str(spp * n if spp * n <= (68 << 20) else 48 << 20)))
     waves = max(1, min(spp, wave_rays // n))
     # Half-precision queue payload (dir/att/radiance), the reference's
     # fp16 RayData quirk (camera.hpp:12-63). Off by default: measured

@@ -80,7 +80,7 @@ def _render_sharded_wavefront_hostloop(
     total_local = spp_local * n_local
     wave_rays = int(os.environ.get(
         "SRT_WAVE_RAYS",
-        str(total_local if total_local <= (68 << 20) else 32 << 20)))
+        str(total_local if total_local <= (68 << 20) else 48 << 20)))
     waves = max(1, min(spp_local, wave_rays // n_local))
     f16_queue = os.environ.get("SRT_F16_QUEUE") == "1"
     seed_u = jnp.uint32(seed)
