@@ -74,7 +74,7 @@ def _render_sharded_wavefront_hostloop(
     n_local = n // sp
     spp_local = spp // dp
     # Same adaptive wave sizing as the single-chip loop (one wave when
-    # the shard-local frame fits ~68M rays, else 32M waves — see
+    # the shard-local frame fits ~68M rays, else 48M waves — see
     # render_wavefront and tools/probe_wave_size.py for the
     # measurements), applied to the per-shard ray count.
     total_local = spp_local * n_local
