@@ -25,7 +25,7 @@ import time
 SPP = int(os.environ.get("BENCH_SPP", 64))
 DEPTH = int(os.environ.get("BENCH_DEPTH", 10))
 RES = int(os.environ.get("BENCH_RES", 1024))
-RUNS = int(os.environ.get("BENCH_RUNS", 2))
+RUNS = int(os.environ.get("BENCH_RUNS", 3))
 SCALE = int(os.environ.get("BENCH_SCENE_SCALE", 2))
 BASELINE_MRAYS = 200.0  # BASELINE.json target for this hardware
 
@@ -94,6 +94,10 @@ def main():
         "value": round(value, 2),
         "unit": "Mrays/s",
         "vs_baseline": round(value / BASELINE_MRAYS, 4),
+        # round-4 VERDICT (evidence hygiene): report the run count and
+        # min-max spread alongside the mean, not just a 2-run average
+        "runs": [round(r, 2) for r in rates],
+        "spread": round(float(np.max(rates) - np.min(rates)), 2),
     }))
 
 

@@ -81,12 +81,13 @@ def run_once_inproc(ctx, scene, renderer, depth, samples, width,
         # parallel/mesh.py)
         from sycl_ray_tracer_tpu.parallel.mesh import (make_mesh,
                                                        render_sharded)
-        if "mesh" not in ctx:
-            ctx["mesh"] = make_mesh(dp=devices)
+        mesh_key = f"mesh{devices}"
+        if mesh_key not in ctx:
+            ctx[mesh_key] = make_mesh(dp=devices)
         t0 = time.perf_counter()
         img, rays = render_sharded(
             dev, cam, width=width, height=height, spp=samples,
-            max_depth=depth, seed=seed, mesh=ctx["mesh"],
+            max_depth=depth, seed=seed, mesh=ctx[mesh_key],
             renderer=renderer)
         np.asarray(img)
         total = int(np.asarray(rays).astype(np.int64).sum())

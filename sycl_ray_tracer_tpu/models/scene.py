@@ -162,16 +162,28 @@ def build_device_scene(host: HostScene,
     # headroom for queues/accumulators).
     max_scene = int(float(os.environ.get("SRT_MAX_SCENE_BYTES",
                                          8e9)))
-    est = host.num_triangles * 910
-    if est > max_scene:
-        raise ValueError(
+    # Hard-fail only on the measured LOWER bound (540 B/tri) and only
+    # where the HBM limit is real (TPU backend); scenes in the
+    # 540-910 uncertainty band, or any backend with host RAM behind
+    # it (CPU oracle/test runs), get a warning instead (round-4
+    # advisor: the worst-case estimate rejected scenes that fit).
+    est_lo = host.num_triangles * 540
+    est_hi = host.num_triangles * 910
+    if est_hi > max_scene:
+        import jax
+
+        msg = (
             f"scene has {host.num_triangles:,} baked world-space "
-            f"triangles (~{est/1e9:.1f} GB of device tables, over the "
-            f"{max_scene/1e9:.1f} GB SRT_MAX_SCENE_BYTES bound). "
-            "Instancing is baked at ingest (utils/gltf.py): R glTF "
-            "instances of one mesh cost R x geometry here, unlike the "
-            "reference's shared-BLAS instancing. Reduce instance "
-            "count/mesh density or raise SRT_MAX_SCENE_BYTES.")
+            f"triangles (~{est_lo/1e9:.1f}-{est_hi/1e9:.1f} GB of "
+            f"device tables vs the {max_scene/1e9:.1f} GB "
+            "SRT_MAX_SCENE_BYTES bound). Instancing is baked at "
+            "ingest (utils/gltf.py): R glTF instances of one mesh "
+            "cost R x geometry here, unlike the reference's "
+            "shared-BLAS instancing. Reduce instance count/mesh "
+            "density or raise SRT_MAX_SCENE_BYTES.")
+        if est_lo > max_scene and jax.default_backend() == "tpu":
+            raise ValueError(msg)
+        print(f"# WARNING: {msg}")
 
     depth, ni, _, _ = wbvh.plan(host.num_triangles, leaf_size)
     if os.environ.get("SRT_JIT_BUILD") == "1":

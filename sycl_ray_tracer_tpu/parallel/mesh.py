@@ -419,16 +419,21 @@ def _render_sharded_megakernel_hostloop(
     rays = None
     for acc, rays_w in results:
         combined = acc if combined is None else combined + acc
-        rays = rays_w if rays is None else rays + rays_w
+        # host-side int64 tally accumulation + clamp, matching
+        # _render_sharded_wavefront_hostloop (round-4 advisor: int32
+        # sums across waves/shards can wrap on very large renders)
+        r = np.asarray(rays_w).astype(np.int64)
+        rays = r if rays is None else rays + r
 
     @jax.jit
-    def finish(acc, rays):
+    def finish(acc):
         a = acc.sum(axis=0).reshape(n, 3)
         img = linear_to_gamma(a * (1.0 / spp))
-        return (img.reshape(height, width, 3),
-                rays.sum(axis=(0, 1)).astype(jnp.int32))
+        return img.reshape(height, width, 3)
 
-    return finish(combined, rays)
+    tallies = np.minimum(rays.sum(axis=(0, 1)),
+                         2**31 - 1).astype(np.int32)
+    return finish(combined), jnp.asarray(tallies)
 
 
 def render_sharded(scene, cam: Camera, *, width: int, height: int,

@@ -9,8 +9,9 @@ BLAS per primitive and pays ~1x geometry plus R transforms
 
 Prints, per R: triangle count, HostScene bytes, DeviceScene bytes
 (sum of uploaded array nbytes), load+build wall seconds, and the
-derived bytes/triangle (feeding the ~250 B/tri pre-OOM guard in
-models/scene.py). CPU-only; run with SRT_PLATFORM=cpu.
+derived bytes/triangle (feeding the 540-910 B/tri band the pre-OOM
+guard in models/scene.py uses: hard-fail on the 540 lower bound on
+TPU, warn in the band). CPU-only; run with SRT_PLATFORM=cpu.
 """
 
 import os
