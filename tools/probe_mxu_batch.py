@@ -141,6 +141,24 @@ def make_kernel(iters, mode, kb):
                 cols.append(wtiles_ref[lfc][:, 0:48])
             return jnp.concatenate(cols, axis=1) if kb > 1 else cols[0]
 
+        def load_batch_compact(it):
+            """kb compact tiles (4 leaves per (8,128) tile, 24 lanes
+            each: rows 0-2 = M rows, row 3 = translation) -> [8, 24*kb]
+            with the real 4-way quarter select the production storage
+            needs (static slices + 3 wheres; dynamic lane offsets are
+            not expressible in Mosaic)."""
+            cols = []
+            for j in range(kb):
+                lfc = (it * kb + j) % NL
+                tile = wtiles_ref[lfc // 4]
+                qq = lfc % 4
+                w = tile[:, 0:24]
+                w = jnp.where(qq == 1, tile[:, 32:56], w)
+                w = jnp.where(qq == 2, tile[:, 64:88], w)
+                w = jnp.where(qq == 3, tile[:, 96:120], w)
+                cols.append(w)
+            return jnp.concatenate(cols, axis=1) if kb > 1 else cols[0]
+
         def mmb_body(c):
             it, tb, trib, ub, vb = c
             w = load_batch(it)
@@ -205,10 +223,76 @@ def make_kernel(iters, mode, kb):
             vb = jnp.where(has, v_all, vb)
             return (it + 1, tb, trib, ub, vb)
 
+        def cb_body(c):
+            """Compact layout: one dot [8, 24*kb] x [8, 2*RB*128] ->
+            (24*kb, 2*RB*128); cols = component-major per leaf
+            (u-functionals of 8 tris, then v, then z); N = o-half |
+            d-half (ray row 3 = 1 for o, 0 for d, so the translation
+            rides the dot)."""
+            it, tb, trib, ub, vb = c
+            w = load_batch_compact(it)
+            out = jax.lax.dot_general(
+                w, rays2, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            NW = RB * 128
+            best_all = jnp.full((1, NW), BIG)
+            tri_all = jnp.full((1, NW), -1, jnp.int32)
+            u_all = big_w * 0
+            v_all = big_w * 0
+            for j in range(kb):
+                o = 24 * j
+                ou = out[o + 0: o + 8, 0:NW]
+                ov = out[o + 8: o + 16, 0:NW]
+                oz = out[o + 16: o + 24, 0:NW]
+                du = out[o + 0: o + 8, NW:]
+                dv = out[o + 8: o + 16, NW:]
+                dz = out[o + 16: o + 24, NW:]
+                neg_inv = jnp.float32(-1.0) / dz
+                tt = oz * neg_inv
+                uu = ou + tt * du
+                vv = ov + tt * dv
+                ok = ((uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+                      & (tt > TNEAR) & (tt < tb))
+                ttm = jnp.where(ok, tt, BIG)
+                best = jnp.min(ttm, axis=0, keepdims=True)
+                jbest = jnp.min(jnp.where(ttm <= best, jrow, 8),
+                                axis=0, keepdims=True)
+                one_hot = jrow == jbest
+                usel = jnp.sum(jnp.where(one_hot, uu, 0.0),
+                               axis=0, keepdims=True)
+                vsel = jnp.sum(jnp.where(one_hot, vv, 0.0),
+                               axis=0, keepdims=True)
+                lfc = (it * kb + j) % NL
+                take = best < best_all
+                best_all = jnp.where(take, best, best_all)
+                tri_all = jnp.where(take, lfc * 8 + jbest, tri_all)
+                u_all = jnp.where(take, usel, u_all)
+                v_all = jnp.where(take, vsel, v_all)
+            has = best_all < MISS
+            tb = jnp.where(has, best_all, tb)
+            trib = jnp.where(has, tri_all, trib)
+            ub = jnp.where(has, u_all, ub)
+            vb = jnp.where(has, v_all, vb)
+            return (it + 1, tb, trib, ub, vb)
+
+        if mode in ("cb",):
+            # o|d ray matrix: rows 0-2 = o comps, row 3 = ones/zeros,
+            # rows 4-7 = 0; built once (loop-invariant)
+            o_half = jnp.concatenate(
+                [rays_ref[0:3, :],
+                 jnp.ones((1, RB * 128), jnp.float32),
+                 jnp.zeros((4, RB * 128), jnp.float32)], axis=0)
+            d_half = jnp.concatenate(
+                [rays_ref[4:7, :],
+                 jnp.zeros((5, RB * 128), jnp.float32)], axis=0)
+            rays2 = jnp.concatenate([o_half, d_half], axis=1)
+
         if mode == "mt":
             body = mt_body
         elif mode == "mmb":
             body = mmb_body
+        elif mode == "cb":
+            body = cb_body
         else:
             body = bat_body
         it, tb, trib, ub, vb = jax.lax.while_loop(cond, body, carry0)
@@ -242,6 +326,8 @@ def main():
             specs.append(("mt", 1))
         elif a.startswith("mmb"):
             specs.append(("mmb", int(a[3:])))
+        elif a.startswith("cb"):
+            specs.append(("cb", int(a[2:])))
         elif a.startswith("bat"):
             specs.append(("bat", int(a[3:])))
     rng = np.random.RandomState(7)
