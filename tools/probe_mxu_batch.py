@@ -336,7 +336,7 @@ def main():
     lt = [jnp.asarray(rng.rand(NL // 8, 8, 128).astype(np.float32))
           for _ in range(6)]
     rays = jnp.asarray(rng.randn(8, RB * 128).astype(np.float32))
-    VISITS_LO, VISITS_HI = 8192, 65536
+    VISITS_LO, VISITS_HI = 8192, 262144
     res_by = {}
     for mode, kb in specs:
         res = {}
