@@ -159,6 +159,72 @@ def make_kernel(iters, mode, kb):
                 cols.append(w)
             return jnp.concatenate(cols, axis=1) if kb > 1 else cols[0]
 
+        def load_batch_compact32(it):
+            """kb compact tiles padded to 32 lanes/leaf (4 per tile,
+            ALIGNED quarters): the lane offsets are all multiples of
+            32, so the select/concat lowers to cheap quarter-masked
+            moves instead of 24-lane misaligned shifts."""
+            cols = []
+            for j in range(kb):
+                lfc = (it * kb + j) % NL
+                tile = wtiles_ref[lfc // 4]
+                qq = lfc % 4
+                w = tile[:, 0:32]
+                w = jnp.where(qq == 1, tile[:, 32:64], w)
+                w = jnp.where(qq == 2, tile[:, 64:96], w)
+                w = jnp.where(qq == 3, tile[:, 96:128], w)
+                cols.append(w)
+            return jnp.concatenate(cols, axis=1) if kb > 1 else cols[0]
+
+        def cp_body(c):
+            """compact32: one dot [8, 32*kb] x [8, 2*RB*128]; cols per
+            leaf = u(8) v(8) z(8) pad(8), component-major."""
+            it, tb, trib, ub, vb = c
+            w = load_batch_compact32(it)
+            out = jax.lax.dot_general(
+                w, rays2, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            NW = RB * 128
+            best_all = jnp.full((1, NW), BIG)
+            tri_all = jnp.full((1, NW), -1, jnp.int32)
+            u_all = big_w * 0
+            v_all = big_w * 0
+            for j in range(kb):
+                o = 32 * j
+                ou = out[o + 0: o + 8, 0:NW]
+                ov = out[o + 8: o + 16, 0:NW]
+                oz = out[o + 16: o + 24, 0:NW]
+                du = out[o + 0: o + 8, NW:]
+                dv = out[o + 8: o + 16, NW:]
+                dz = out[o + 16: o + 24, NW:]
+                neg_inv = jnp.float32(-1.0) / dz
+                tt = oz * neg_inv
+                uu = ou + tt * du
+                vv = ov + tt * dv
+                ok = ((uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+                      & (tt > TNEAR) & (tt < tb))
+                ttm = jnp.where(ok, tt, BIG)
+                best = jnp.min(ttm, axis=0, keepdims=True)
+                jbest = jnp.min(jnp.where(ttm <= best, jrow, 8),
+                                axis=0, keepdims=True)
+                one_hot = jrow == jbest
+                usel = jnp.sum(jnp.where(one_hot, uu, 0.0),
+                               axis=0, keepdims=True)
+                vsel = jnp.sum(jnp.where(one_hot, vv, 0.0),
+                               axis=0, keepdims=True)
+                lfc = (it * kb + j) % NL
+                take = best < best_all
+                best_all = jnp.where(take, best, best_all)
+                tri_all = jnp.where(take, lfc * 8 + jbest, tri_all)
+                u_all = jnp.where(take, usel, u_all)
+                v_all = jnp.where(take, vsel, v_all)
+            has = best_all < MISS
+            tb = jnp.where(has, best_all, tb)
+            trib = jnp.where(has, tri_all, trib)
+            ub = jnp.where(has, u_all, ub)
+            vb = jnp.where(has, v_all, vb)
+            return (it + 1, tb, trib, ub, vb)
+
         def mmb_body(c):
             it, tb, trib, ub, vb = c
             w = load_batch(it)
@@ -275,7 +341,7 @@ def make_kernel(iters, mode, kb):
             vb = jnp.where(has, v_all, vb)
             return (it + 1, tb, trib, ub, vb)
 
-        if mode in ("cb",):
+        if mode in ("cb", "cp"):
             # o|d ray matrix: rows 0-2 = o comps, row 3 = ones/zeros,
             # rows 4-7 = 0; built once (loop-invariant)
             o_half = jnp.concatenate(
@@ -293,6 +359,8 @@ def make_kernel(iters, mode, kb):
             body = mmb_body
         elif mode == "cb":
             body = cb_body
+        elif mode == "cp":
+            body = cp_body
         else:
             body = bat_body
         it, tb, trib, ub, vb = jax.lax.while_loop(cond, body, carry0)
@@ -328,6 +396,8 @@ def main():
             specs.append(("mmb", int(a[3:])))
         elif a.startswith("cb"):
             specs.append(("cb", int(a[2:])))
+        elif a.startswith("cp"):
+            specs.append(("cp", int(a[2:])))
         elif a.startswith("bat"):
             specs.append(("bat", int(a[3:])))
     rng = np.random.RandomState(7)
