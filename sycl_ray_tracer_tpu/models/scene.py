@@ -39,6 +39,11 @@ class DeviceScene:
     # bvh_remap translates its hit slots to Morton-slot space.
     bvh_ctiles: jnp.ndarray    # [ceil(NI/16), 8, 128]
     bvh_ltiles: jnp.ndarray    # [ceil(L/8), 8, 128]
+    # Woop transform tiles for the v8 batched-MXU leaf drain
+    # (ops/woop.py, ops/traverse_pallas8.py): 2 leaves per tile,
+    # 256 B/tri. Dummy [1, 8, 128] when has_wtiles is False (CPU
+    # backend, oversized scenes, or SRT_MXU_DRAIN=0).
+    bvh_wtiles: jnp.ndarray    # [ceil(L/2), 8, 128]
     bvh_remap: jnp.ndarray     # [L_sah*K] int32 sah slot -> morton slot
     # Binary LBVH (ops/lbvh.py + ops/traverse.py) as an independently
     # selectable intersector (intersector="lbvh"): the cross-check
@@ -114,6 +119,9 @@ class DeviceScene:
     tex_res: int = struct.field(pytree_node=False, default=512)
     has_sah: bool = struct.field(pytree_node=False, default=False)
     sah_ni: int = struct.field(pytree_node=False, default=1)
+    # True iff bvh_wtiles holds a real woop table (v8 batched-MXU
+    # drains available; scene.py gates on size + SRT_MXU_DRAIN)
+    has_wtiles: bool = struct.field(pytree_node=False, default=False)
     leaf_size: int = struct.field(pytree_node=False, default=DEFAULT_LEAF_SIZE)
     bvh_depth: int = struct.field(pytree_node=False, default=1)
     bvh_ni: int = struct.field(pytree_node=False, default=1)
@@ -288,12 +296,30 @@ def build_device_scene(host: HostScene,
                       and os.environ.get("SRT_KERNEL") not in (
                           "v1", "v2"))
     cfmt = "f32"
+    wtiles = None
+    # Woop tile budget for the v8 batched-MXU drain: the kernel
+    # compiled and ran at sponza scale with 86.8 MB of wtiles +
+    # 2.1 MB ctiles (tools/kernel_ab8.py), so the v8 table limit is
+    # its own, larger bound (VMEM staging is per-program — v6/v5
+    # programs never see the woop table).
+    from sycl_ray_tracer_tpu.models.trace import V8_TABLE_LIMIT_BYTES
+    want_woop = os.environ.get("SRT_MXU_DRAIN", "1") != "0"
+
+    def _maybe_wtiles(rows):
+        if not want_woop or rows.shape[0] == 0:
+            return None
+        from sycl_ray_tracer_tpu.ops import woop as _woop
+        est = -(-rows.shape[0] // 2) * 8 * 128 * 4
+        if est > V8_TABLE_LIMIT_BYTES:
+            return None
+        return _woop.pack_wtiles_affine_np(rows, leaf_size)
+
     if sahb is not None and sahb.num_internal + sahb.num_leaves < (
             1 << 24):
+        sah_rows = _sah.leaf_rows(host.tri_v, sahb.order, leaf_size)
         ctiles, ltiles = wbvh.pack_tiles_np(
-            sahb.children, sahb.child_ids,
-            _sah.leaf_rows(host.tri_v, sahb.order, leaf_size),
-            leaf_size)
+            sahb.children, sahb.child_ids, sah_rows, leaf_size)
+        wtiles = _maybe_wtiles(sah_rows)
         if use_bf16_nodes:
             ctiles = wbvh.pack_ctiles_bf16_np(sahb.children,
                                               sahb.child_ids)
@@ -311,6 +337,7 @@ def build_device_scene(host: HostScene,
         ctiles, ltiles = wbvh.pack_tiles_np(
             np.asarray(bvh.children), child_ids,
             np.asarray(bvh.leaves), leaf_size)
+        wtiles = _maybe_wtiles(np.asarray(bvh.leaves))
         if use_bf16_nodes:
             ctiles = wbvh.pack_ctiles_bf16_np(
                 np.asarray(bvh.children), child_ids)
@@ -320,6 +347,9 @@ def build_device_scene(host: HostScene,
         # kernel / XLA traversal serve these configurations
         ctiles = np.zeros((1, 8, 128), np.float32)
         ltiles = np.zeros((1, 8, 128), np.float32)
+    has_wtiles = wtiles is not None
+    if wtiles is None:
+        wtiles = np.zeros((1, 8, 128), np.float32)
     safe = np.maximum(order, 0)
     validm = order >= 0
 
@@ -389,7 +419,9 @@ def build_device_scene(host: HostScene,
         bvh_leaves=jnp.asarray(bvh.leaves),
         bvh_ctiles=jnp.asarray(ctiles),
         bvh_ltiles=jnp.asarray(ltiles),
+        bvh_wtiles=jnp.asarray(wtiles),
         bvh_remap=jnp.asarray(remap),
+        has_wtiles=has_wtiles,
         lbvh_lo=lbvh_lo, lbvh_hi=lbvh_hi,
         lbvh_v0=lbvh_v0, lbvh_e1=lbvh_e1, lbvh_e2=lbvh_e2,
         tl_ctiles=tl_ctiles, tl_ltiles=tl_ltiles, tl_remap=tl_remap,

@@ -33,6 +33,12 @@ from sycl_ray_tracer_tpu.ops.vec import V3, normalize, where
 # (kernel stack included), so cap the tables at 48 MB (~1.2M triangles
 # at K=8). Beyond this we fall back to the XLA traversal.
 VMEM_TABLE_LIMIT_BYTES = 48 * 1024 * 1024
+# The v8 batched-MXU-drain kernel stages ctiles + WOOP tiles
+# (256 B/tri) per program; it compiled and ran at 86.8 MB of wtiles
+# on sponza_proc (tools/kernel_ab8.py), so its own ceiling is higher
+# than the v5 split-table one — capped below the 100 MB
+# vmem_limit_bytes the kernel requests, with room for scratch.
+V8_TABLE_LIMIT_BYTES = 90 * 1024 * 1024
 
 
 class PathState(NamedTuple):
@@ -92,6 +98,11 @@ def _packet_kernel_version(scene) -> int:
 # visit union faster than the sync amortizes (rb16 4.57, rb32 3.47).
 V5_PRIMARY = (32, 3, 4)  # (rows, ki, ml)
 V5_BOUNCE = (8, 2, 3)
+# v8 (batched-MXU drains) bounce config: (rows, ki, kb) — kb = leaves
+# per batched dot (tools/probe_mxu_batch.py: batch 8 is the sweet
+# spot; 16 regresses). Primaries stay on v6 (12.87 Mrays/s) pending a
+# v8 primary sweep.
+V8_BOUNCE = (8, 2, 8)
 
 
 # Treelet ray binning (round-3 VERDICT #6): stable-sort rays by the id
@@ -273,6 +284,19 @@ def intersect_scene(scene, o: V3, d: V3,
                 hit = traverse_packets6(
                     scene.bvh_ctiles, scene.bvh_ltiles, ni,
                     scene.leaf_size, o, d, active=active, ki=1, ml=2)
+            elif (scene.has_wtiles and not primary
+                  and FORCED_KERNEL in (None, "v8")):
+                # bounce packets: v8 batched-MXU Woop drains (round-5;
+                # A/B at 1M sorted bounce rays: v8 6.1 vs v5 5.3
+                # Mrays/s — tools/kernel_ab8.py). Forced off via
+                # SRT_KERNEL=v5 or SRT_MXU_DRAIN=0 (no wtiles built).
+                from sycl_ray_tracer_tpu.ops.traverse_pallas8 import (
+                    traverse_packets8)
+                rb, ki, kb = V8_BOUNCE
+                hit = traverse_packets8(
+                    scene.bvh_ctiles, scene.bvh_wtiles, ni,
+                    scene.leaf_size, o, d, active=active,
+                    rows=rows or rb, ki=ki, kb=kb, cfmt=scene.cfmt)
             else:
                 from sycl_ray_tracer_tpu.ops.traverse_pallas5 import (
                     traverse_packets5)

@@ -49,6 +49,9 @@ KB8 = int(os.environ.get("SRT_V8_KB", "8"))   # leaves / batched drain
 _STACK = 256
 _LQ = 128
 _MISS = np.float32(BIG) * np.float32(0.5)
+_PRECISION = {"default": jax.lax.Precision.DEFAULT,
+              "high": jax.lax.Precision.HIGH,
+              "highest": jax.lax.Precision.HIGHEST}
 
 
 def _bcast_gather(tile, lane, n=8):
@@ -63,7 +66,7 @@ def _traverse_subpacket8(ctiles_ref, wtiles_ref,
                          stack_ref, lq_ref, keybuf_ref, idbuf_ref,
                          *, ni: int, nlt: int, k: int, rb: int,
                          ki: int, kb: int, row0: int,
-                         cfmt: str = "f32"):
+                         cfmt: str = "f32", precision: str = "highest"):
     rows = [row0 + r for r in range(rb)]
     ox = [ox_ref[r:r + 1, :] for r in rows]
     oy = [oy_ref[r:r + 1, :] for r in rows]
@@ -241,10 +244,18 @@ def _traverse_subpacket8(ctiles_ref, wtiles_ref,
                             tile[:, 0:48])
             cols.append(w_j)
         w = jnp.concatenate(cols, axis=1)          # (8, 48*kb)
+        # precision matters: the TPU MXU's DEFAULT f32 dot is a single
+        # bf16 pass — 8-bit mantissas on the Woop coefficients turned
+        # 5.8% of sponza bounce hits into misses (round-5 bisect:
+        # interpret mode exact, real TPU 0.1-5.8% wrong at any kb/ki).
+        # HIGHEST (6-pass) restores f32-equivalent accuracy; the dot
+        # is fixed-cost dominated so the extra passes are cheap
+        # (tools/probe_mxu_batch.py).
         out = jax.lax.dot_general(
             w, rays_w,
             dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)    # (48*kb, nw)
+            preferred_element_type=jnp.float32,
+            precision=_PRECISION[precision])       # (48*kb, nw)
 
         best_all = jnp.full((1, nw), jnp.float32(BIG))
         tri_all = jnp.full((1, nw), -1, jnp.int32)
@@ -303,7 +314,8 @@ def _packet_kernel8(ctiles_ref, wtiles_ref,
                     act_ref, t0_ref, t_ref, tri_ref, u_ref, v_ref,
                     stack_ref, lq_ref, keybuf_ref, idbuf_ref,
                     *, ni: int, nlt: int, k: int, rb: int, ki: int,
-                    kb: int, cfmt: str = "f32"):
+                    kb: int, cfmt: str = "f32",
+                    precision: str = "highest"):
     for s in range(max(rb, 8) // rb):
         _traverse_subpacket8(
             ctiles_ref, wtiles_ref, ox_ref, oy_ref, oz_ref,
@@ -311,12 +323,12 @@ def _packet_kernel8(ctiles_ref, wtiles_ref,
             t_ref, tri_ref, u_ref, v_ref,
             stack_ref, lq_ref, keybuf_ref, idbuf_ref,
             ni=ni, nlt=nlt, k=k, rb=rb, ki=ki, kb=kb, row0=s * rb,
-            cfmt=cfmt)
+            cfmt=cfmt, precision=precision)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("ni", "leaf_size", "rows", "ki",
-                                    "kb", "cfmt"))
+                                    "kb", "cfmt", "precision"))
 def traverse_packets8(ctiles: jnp.ndarray, wtiles: jnp.ndarray,
                       ni: int, leaf_size: int, o: V3, d: V3,
                       active: jnp.ndarray | None = None,
@@ -324,7 +336,7 @@ def traverse_packets8(ctiles: jnp.ndarray, wtiles: jnp.ndarray,
                       ki: int | None = None,
                       kb: int | None = None,
                       t_init: jnp.ndarray | None = None,
-                      cfmt: str = "f32"):
+                      cfmt: str = "f32", precision: str = "highest"):
     """v8 traversal: same API as traverse_packets5 but the leaf table
     is the WOOP tile table (ops/woop.pack_wtiles_affine_np), and leaf
     drains run batched on the MXU. Returns leaf-slot hit ids exactly
@@ -365,7 +377,8 @@ def traverse_packets8(ctiles: jnp.ndarray, wtiles: jnp.ndarray,
     ]
     kernel = functools.partial(_packet_kernel8, ni=ni,
                                nlt=int(wtiles.shape[0]), k=leaf_size,
-                               rb=rb, ki=ki, kb=kb, cfmt=cfmt)
+                               rb=rb, ki=ki, kb=kb, cfmt=cfmt,
+                               precision=precision)
     outs = pl.pallas_call(
         kernel,
         grid=(grid,),

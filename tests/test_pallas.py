@@ -291,3 +291,66 @@ def test_v5_leaf_ring_overflow_guard(rs):
     # carries more float noise than the compact-triangle tests; the
     # exact id equality above is the correctness claim
     assert np.allclose(t1[both], t_b[both], rtol=1e-3, atol=1e-4)
+
+
+def test_v8_batched_mxu_drain_interpret():
+    """v8 (slab-only walk + batched Woop drains,
+    ops/traverse_pallas8.py) in interpret mode vs the brute-force
+    woop reference: exact tri ids and float-level t/u/v on the cube
+    fixture, plus t_init chaining semantics (only strictly-closer
+    hits reported). Interpret mode runs true f32 — the real-TPU
+    requirement that the dot use precision=HIGHEST (the MXU's default
+    f32 dot is one bf16 pass) is documented in the kernel and was
+    verified on hardware (PLAN_TPU round-5 facts)."""
+    import sycl_ray_tracer_tpu.ops.traverse_pallas8 as TP8
+    from sycl_ray_tracer_tpu.ops import sah, woop
+    from sycl_ray_tracer_tpu.utils.fixtures import cube_scene_glb
+    from sycl_ray_tracer_tpu.utils.gltf import load_glb
+
+    host = load_glb(cube_scene_glb())
+    sahb = sah.build_sah(host.tri_v, 8)
+    if sahb is None:
+        import pytest
+        pytest.skip("native SAH library unavailable")
+    rows = sah.leaf_rows(host.tri_v, sahb.order, 8)
+    ct, lt = wbvh.pack_tiles_np(sahb.children, sahb.child_ids, rows, 8)
+    wt = woop.pack_wtiles_affine_np(rows)
+
+    rs = np.random.RandomState(3)
+    r = 1024
+    o_np = np.broadcast_to(
+        np.asarray(host.camera_position, np.float32), (r, 3)).copy()
+    d_np = rs.randn(r, 3).astype(np.float32)
+    d_np /= np.linalg.norm(d_np, axis=1, keepdims=True)
+    o = V3(*(jnp.asarray(o_np[:, i]) for i in range(3)))
+    d = V3(*(jnp.asarray(d_np[:, i]) for i in range(3)))
+
+    orig_call = TP8.pl.pallas_call
+
+    def patched(*a, **kw):
+        kw["interpret"] = True
+        return orig_call(*a, **kw)
+
+    TP8.pl.pallas_call = patched
+    try:
+        hit = TP8.traverse_packets8(jnp.asarray(ct), jnp.asarray(wt),
+                                    sahb.num_internal, 8, o, d)
+        tw, jw, uw, vw = woop.np_woop_hit(rows, o_np, d_np)
+        miss_ref = ~np.isfinite(tw)
+        tri8 = np.asarray(hit.tri)
+        assert ((tri8 < 0) == miss_ref).all()
+        both = ~miss_ref
+        assert (tri8[both] == jw[both]).all()
+        assert np.allclose(np.asarray(hit.t)[both], tw[both],
+                           rtol=1e-4, atol=1e-5)
+        assert np.allclose(np.asarray(hit.u)[both], uw[both], atol=1e-4)
+        assert np.allclose(np.asarray(hit.v)[both], vw[both], atol=1e-4)
+
+        # t_init chaining: with the incumbent at the found t, no
+        # strictly-closer hit exists, so every ray reports tri=-1
+        hit2 = TP8.traverse_packets8(
+            jnp.asarray(ct), jnp.asarray(wt), sahb.num_internal, 8,
+            o, d, t_init=hit.t)
+        assert (np.asarray(hit2.tri) == -1).all()
+    finally:
+        TP8.pl.pallas_call = orig_call

@@ -101,6 +101,8 @@ def main():
                 kw["ml"] = int(part[1:])
             elif part.startswith("b"):
                 kw["kb"] = int(part[1:])
+            elif part.startswith("p"):
+                kw["precision"] = part[1:]
         if spec.startswith("v8"):
             return lambda o, d, rows=8: traverse_packets8(
                 ct, wt, ni, k, o, d, rows=rows, **kw)
