@@ -46,12 +46,23 @@ from sycl_ray_tracer_tpu.ops.vec import V3
 
 KI8 = int(os.environ.get("SRT_V8_KI", "2"))   # internal nodes / iter
 KB8 = int(os.environ.get("SRT_V8_KB", "8"))   # leaves / batched drain
+# drain-dot precision mode: f32x6 (6 bf16-limb terms in K, f32-exact)
+# | f32x3 (3 terms, ~2^-16 rel) | bf16 (1 pass) | highest (Mosaic)
+DOTP8 = os.environ.get("SRT_V8_DOTP", "f32x6")
 _STACK = 256
 _LQ = 128
 _MISS = np.float32(BIG) * np.float32(0.5)
-_PRECISION = {"default": jax.lax.Precision.DEFAULT,
-              "high": jax.lax.Precision.HIGH,
+_PRECISION = {"bf16": jax.lax.Precision.DEFAULT,
               "highest": jax.lax.Precision.HIGHEST}
+
+
+def _split3(a):
+    """f32 -> (hi, mid, lo) bf16 limbs with a ~= hi + mid + lo."""
+    hi = a.astype(jnp.bfloat16)
+    r1 = a - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
 
 
 def _bcast_gather(tile, lane, n=8):
@@ -66,7 +77,7 @@ def _traverse_subpacket8(ctiles_ref, wtiles_ref,
                          stack_ref, lq_ref, keybuf_ref, idbuf_ref,
                          *, ni: int, nlt: int, k: int, rb: int,
                          ki: int, kb: int, row0: int,
-                         cfmt: str = "f32", precision: str = "highest"):
+                         cfmt: str = "f32", dotp: str = "f32x6"):
     rows = [row0 + r for r in range(rb)]
     ox = [ox_ref[r:r + 1, :] for r in rows]
     oy = [oy_ref[r:r + 1, :] for r in rows]
@@ -95,6 +106,22 @@ def _traverse_subpacket8(ctiles_ref, wtiles_ref,
     zeros_w = jnp.zeros((1, nw), jnp.float32)
     rays_w = jnp.concatenate(
         [oxw, oyw, ozw, ones_w, dxw, dyw, dzw, zeros_w], axis=0)
+    if dotp in ("f32x3", "f32x6"):
+        # bf16-limb split of the ray matrix, once per walk (loop-
+        # invariant). The multi-pass f32 product expansion rides the
+        # CONTRACTION dim: term pairs (Wi, Rj) concatenated along K
+        # give ONE MXU pass at K=24 (3-term, ~2^-16 rel) or K=48
+        # (6-term, f32-equivalent) — K-growth is nearly free
+        # (tools/probe_mxu_batch.py: bx3 126 / bx6 158 cyc per leaf
+        # visit vs Mosaic HIGHEST's ~800-cyc-per-batch 6 passes).
+        rhi, rmid, rlo = _split3(rays_w)
+        if dotp == "f32x3":
+            rays_k = jnp.concatenate([rhi, rmid, rhi], axis=0)
+        else:
+            rays_k = jnp.concatenate([rhi, rmid, rhi, rlo, rmid, rhi],
+                                     axis=0)
+    else:
+        rays_k = rays_w
 
     # WIDE hit state (1, rb*128): slab tests slice per-row 128-lane
     # windows (free at 128-aligned offsets); the batched epilogue
@@ -244,18 +271,31 @@ def _traverse_subpacket8(ctiles_ref, wtiles_ref,
                             tile[:, 0:48])
             cols.append(w_j)
         w = jnp.concatenate(cols, axis=1)          # (8, 48*kb)
-        # precision matters: the TPU MXU's DEFAULT f32 dot is a single
+        # Precision matters: the MXU's DEFAULT f32 dot is a single
         # bf16 pass — 8-bit mantissas on the Woop coefficients turned
         # 5.8% of sponza bounce hits into misses (round-5 bisect:
-        # interpret mode exact, real TPU 0.1-5.8% wrong at any kb/ki).
-        # HIGHEST (6-pass) restores f32-equivalent accuracy; the dot
-        # is fixed-cost dominated so the extra passes are cheap
-        # (tools/probe_mxu_batch.py).
-        out = jax.lax.dot_general(
-            w, rays_w,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=_PRECISION[precision])       # (48*kb, nw)
+        # interpret mode exact, real TPU wrong at any kb/ki), and
+        # Mosaic's precision=HIGHEST costs ~800 cyc/batch (6 serial
+        # passes; bounce kernel 4.0 vs v5 5.3). The production path
+        # folds the limb-product expansion into K instead (see the
+        # rays_k comment above): exact hits at one-pass cost.
+        if dotp in ("f32x3", "f32x6"):
+            whi, wmid, wlo = _split3(w)
+            if dotp == "f32x3":
+                wk = jnp.concatenate([whi, whi, wmid], axis=0)
+            else:
+                wk = jnp.concatenate([whi, whi, wmid, whi, wmid, wlo],
+                                     axis=0)
+            out = jax.lax.dot_general(
+                wk, rays_k,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (48*kb, nw)
+        else:
+            out = jax.lax.dot_general(
+                w, rays_k,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_PRECISION[dotp])          # (48*kb, nw)
 
         best_all = jnp.full((1, nw), jnp.float32(BIG))
         tri_all = jnp.full((1, nw), -1, jnp.int32)
@@ -314,8 +354,7 @@ def _packet_kernel8(ctiles_ref, wtiles_ref,
                     act_ref, t0_ref, t_ref, tri_ref, u_ref, v_ref,
                     stack_ref, lq_ref, keybuf_ref, idbuf_ref,
                     *, ni: int, nlt: int, k: int, rb: int, ki: int,
-                    kb: int, cfmt: str = "f32",
-                    precision: str = "highest"):
+                    kb: int, cfmt: str = "f32", dotp: str = "f32x6"):
     for s in range(max(rb, 8) // rb):
         _traverse_subpacket8(
             ctiles_ref, wtiles_ref, ox_ref, oy_ref, oz_ref,
@@ -323,12 +362,12 @@ def _packet_kernel8(ctiles_ref, wtiles_ref,
             t_ref, tri_ref, u_ref, v_ref,
             stack_ref, lq_ref, keybuf_ref, idbuf_ref,
             ni=ni, nlt=nlt, k=k, rb=rb, ki=ki, kb=kb, row0=s * rb,
-            cfmt=cfmt, precision=precision)
+            cfmt=cfmt, dotp=dotp)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("ni", "leaf_size", "rows", "ki",
-                                    "kb", "cfmt", "precision"))
+                                    "kb", "cfmt", "dotp"))
 def traverse_packets8(ctiles: jnp.ndarray, wtiles: jnp.ndarray,
                       ni: int, leaf_size: int, o: V3, d: V3,
                       active: jnp.ndarray | None = None,
@@ -336,7 +375,7 @@ def traverse_packets8(ctiles: jnp.ndarray, wtiles: jnp.ndarray,
                       ki: int | None = None,
                       kb: int | None = None,
                       t_init: jnp.ndarray | None = None,
-                      cfmt: str = "f32", precision: str = "highest"):
+                      cfmt: str = "f32", dotp: str = None):
     """v8 traversal: same API as traverse_packets5 but the leaf table
     is the WOOP tile table (ops/woop.pack_wtiles_affine_np), and leaf
     drains run batched on the MXU. Returns leaf-slot hit ids exactly
@@ -378,7 +417,7 @@ def traverse_packets8(ctiles: jnp.ndarray, wtiles: jnp.ndarray,
     kernel = functools.partial(_packet_kernel8, ni=ni,
                                nlt=int(wtiles.shape[0]), k=leaf_size,
                                rb=rb, ki=ki, kb=kb, cfmt=cfmt,
-                               precision=precision)
+                               dotp=dotp or DOTP8)
     outs = pl.pallas_call(
         kernel,
         grid=(grid,),

@@ -102,7 +102,7 @@ def main():
             elif part.startswith("b"):
                 kw["kb"] = int(part[1:])
             elif part.startswith("p"):
-                kw["precision"] = part[1:]
+                kw["dotp"] = part[1:]  # e.g. -pf32x3, -pbf16
         if spec.startswith("v8"):
             return lambda o, d, rows=8: traverse_packets8(
                 ct, wt, ni, k, o, d, rows=rows, **kw)

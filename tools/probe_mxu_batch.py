@@ -225,6 +225,73 @@ def make_kernel(iters, mode, kb):
             vb = jnp.where(has, v_all, vb)
             return (it + 1, tb, trib, ub, vb)
 
+        def split3(a):
+            """f32 -> (hi, mid, lo) bf16 limbs, a ~= hi+mid+lo."""
+            hi = a.astype(jnp.bfloat16)
+            r1 = a - hi.astype(jnp.float32)
+            mid = r1.astype(jnp.bfloat16)
+            lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+            return hi, mid, lo
+
+        def bx_body(c, terms):
+            """bf16-limb K-concatenated dot: the HIGH/HIGHEST
+            multi-pass product expansion folded into the contraction
+            dim (ONE MXU pass; K-growth is nearly free — the mmk128
+            control measured +48 cyc for 16x K). terms=3: error
+            ~2^-16; terms=6: ~2^-21 (~f32)."""
+            it, tb, trib, ub, vb = c
+            w = load_batch(it)
+            whi, wmid, wlo = split3(w)
+            if terms == 3:
+                wk = jnp.concatenate([whi, whi, wmid], axis=0)
+                rk = rays3
+            else:
+                wk = jnp.concatenate([whi, whi, wmid, whi, wmid, wlo],
+                                     axis=0)
+                rk = rays6
+            out = jax.lax.dot_general(
+                wk, rk, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (48*kb, RB*128)
+            best_all = jnp.full((1, RB * 128), BIG)
+            tri_all = jnp.full((1, RB * 128), -1, jnp.int32)
+            u_all = big_w * 0
+            v_all = big_w * 0
+            for j in range(kb):
+                o = 48 * j
+                opx = out[o + 0: o + 8]
+                opy = out[o + 8: o + 16]
+                opz = out[o + 16: o + 24]
+                dpx = out[o + 24: o + 32]
+                dpy = out[o + 32: o + 40]
+                dpz = out[o + 40: o + 48]
+                neg_inv = jnp.float32(-1.0) / dpz
+                tt = opz * neg_inv
+                uu = opx + tt * dpx
+                vv = opy + tt * dpy
+                ok = ((uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+                      & (tt > TNEAR) & (tt < tb))
+                ttm = jnp.where(ok, tt, BIG)
+                best = jnp.min(ttm, axis=0, keepdims=True)
+                jbest = jnp.min(jnp.where(ttm <= best, jrow, 8),
+                                axis=0, keepdims=True)
+                one_hot = jrow == jbest
+                usel = jnp.sum(jnp.where(one_hot, uu, 0.0),
+                               axis=0, keepdims=True)
+                vsel = jnp.sum(jnp.where(one_hot, vv, 0.0),
+                               axis=0, keepdims=True)
+                lfc = (it * kb + j) % NL
+                take = best < best_all
+                best_all = jnp.where(take, best, best_all)
+                tri_all = jnp.where(take, lfc * 8 + jbest, tri_all)
+                u_all = jnp.where(take, usel, u_all)
+                v_all = jnp.where(take, vsel, v_all)
+            has = best_all < MISS
+            tb = jnp.where(has, best_all, tb)
+            trib = jnp.where(has, tri_all, trib)
+            ub = jnp.where(has, u_all, ub)
+            vb = jnp.where(has, v_all, vb)
+            return (it + 1, tb, trib, ub, vb)
+
         def mmb_body(c):
             it, tb, trib, ub, vb = c
             w = load_batch(it)
@@ -341,6 +408,12 @@ def make_kernel(iters, mode, kb):
             vb = jnp.where(has, v_all, vb)
             return (it + 1, tb, trib, ub, vb)
 
+        if mode in ("bx3", "bx6"):
+            rhi, rmid, rlo = split3(rays_w)
+            rays3 = jnp.concatenate([rhi, rmid, rhi], axis=0)
+            rays6 = jnp.concatenate([rhi, rmid, rhi, rlo, rmid, rhi],
+                                    axis=0)
+
         if mode in ("cb", "cp"):
             # o|d ray matrix: rows 0-2 = o comps, row 3 = ones/zeros,
             # rows 4-7 = 0; built once (loop-invariant)
@@ -361,6 +434,10 @@ def make_kernel(iters, mode, kb):
             body = cb_body
         elif mode == "cp":
             body = cp_body
+        elif mode == "bx3":
+            body = lambda c: bx_body(c, 3)
+        elif mode == "bx6":
+            body = lambda c: bx_body(c, 6)
         else:
             body = bat_body
         it, tb, trib, ub, vb = jax.lax.while_loop(cond, body, carry0)
@@ -398,6 +475,10 @@ def main():
             specs.append(("cb", int(a[2:])))
         elif a.startswith("cp"):
             specs.append(("cp", int(a[2:])))
+        elif a.startswith("bx3_"):
+            specs.append(("bx3", int(a[4:])))
+        elif a.startswith("bx6_"):
+            specs.append(("bx6", int(a[4:])))
         elif a.startswith("bat"):
             specs.append(("bat", int(a[3:])))
     rng = np.random.RandomState(7)
