@@ -98,11 +98,13 @@ def _packet_kernel_version(scene) -> int:
 # visit union faster than the sync amortizes (rb16 4.57, rb32 3.47).
 V5_PRIMARY = (32, 3, 4)  # (rows, ki, ml)
 V5_BOUNCE = (8, 2, 3)
-# v8 (batched-MXU drains) bounce config: (rows, ki, kb) — kb = leaves
-# per batched dot (tools/probe_mxu_batch.py: batch 8 is the sweet
-# spot; 16 regresses). Primaries stay on v6 (12.87 Mrays/s) pending a
-# v8 primary sweep.
-V8_BOUNCE = (8, 2, 8)
+# v8 (batched-MXU drains) configs: (rows, ki, kb) — kb = leaves per
+# batched dot. Round-5 sponza sweep (tools/kernel_ab8.py, f32x6 dot):
+# primary rb32-b8 15.73 Mrays/s (vs v6 10.4-10.5, v5-rb8 6.96);
+# bounce rb16-b16 6.37 (vs v5-k2-m3 5.31) — wider ray blocks amortize
+# the per-batch fixed dot cost further before union growth wins.
+V8_PRIMARY = (32, 2, 8)
+V8_BOUNCE = (16, 2, 16)
 
 
 # Treelet ray binning (round-3 VERDICT #6): stable-sort rays by the id
@@ -276,7 +278,21 @@ def intersect_scene(scene, o: V3, d: V3,
     if version in (2, 5):
         ni = scene.sah_ni if scene.has_sah else scene.bvh_ni
         if version == 5:
-            if primary and scene.cfmt == "f32" and rows is None:
+            if scene.has_wtiles and FORCED_KERNEL in (None, "v8"):
+                # v8 batched-MXU Woop drains for BOTH workloads
+                # (round-5 sponza A/B, f32x6 dot: primary rb32 15.73
+                # vs v6 10.4-10.5; sorted bounce rb16-b16 6.37 vs
+                # v5-k2-m3 5.31 Mrays/s — tools/kernel_ab8.py).
+                # Forced off via SRT_KERNEL=v5/v6 or SRT_MXU_DRAIN=0
+                # (no wtiles built).
+                from sycl_ray_tracer_tpu.ops.traverse_pallas8 import (
+                    traverse_packets8)
+                rb, ki, kb = V8_PRIMARY if primary else V8_BOUNCE
+                hit = traverse_packets8(
+                    scene.bvh_ctiles, scene.bvh_wtiles, ni,
+                    scene.leaf_size, o, d, active=active,
+                    rows=rows or rb, ki=ki, kb=kb, cfmt=scene.cfmt)
+            elif primary and scene.cfmt == "f32" and rows is None:
                 # coherent primaries run fastest on the dual-walk v6
                 # (12.87 vs 12.59 Mrays/s; PLAN_TPU round-2 sweeps)
                 from sycl_ray_tracer_tpu.ops.traverse_pallas6 import (
@@ -284,19 +300,6 @@ def intersect_scene(scene, o: V3, d: V3,
                 hit = traverse_packets6(
                     scene.bvh_ctiles, scene.bvh_ltiles, ni,
                     scene.leaf_size, o, d, active=active, ki=1, ml=2)
-            elif (scene.has_wtiles and not primary
-                  and FORCED_KERNEL in (None, "v8")):
-                # bounce packets: v8 batched-MXU Woop drains (round-5;
-                # A/B at 1M sorted bounce rays: v8 6.1 vs v5 5.3
-                # Mrays/s — tools/kernel_ab8.py). Forced off via
-                # SRT_KERNEL=v5 or SRT_MXU_DRAIN=0 (no wtiles built).
-                from sycl_ray_tracer_tpu.ops.traverse_pallas8 import (
-                    traverse_packets8)
-                rb, ki, kb = V8_BOUNCE
-                hit = traverse_packets8(
-                    scene.bvh_ctiles, scene.bvh_wtiles, ni,
-                    scene.leaf_size, o, d, active=active,
-                    rows=rows or rb, ki=ki, kb=kb, cfmt=scene.cfmt)
             else:
                 from sycl_ray_tracer_tpu.ops.traverse_pallas5 import (
                     traverse_packets5)

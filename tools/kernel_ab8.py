@@ -106,6 +106,12 @@ def main():
         if spec.startswith("v8"):
             return lambda o, d, rows=8: traverse_packets8(
                 ct, wt, ni, k, o, d, rows=rows, **kw)
+        if spec.startswith("v6"):
+            from sycl_ray_tracer_tpu.ops.traverse_pallas6 import (
+                traverse_packets6)
+            kw.setdefault("ml", 2)
+            return lambda o, d, rows=8: traverse_packets6(
+                ct, lt, ni, k, o, d, **kw)
         return lambda o, d, rows=8: traverse_packets5(
             ct, lt, ni, k, o, d, rows=rows, **kw)
 
