@@ -122,6 +122,15 @@ class DeviceScene:
     # True iff bvh_wtiles holds a real woop table (v8 batched-MXU
     # drains available; scene.py gates on size + SRT_MXU_DRAIN)
     has_wtiles: bool = struct.field(pytree_node=False, default=False)
+    # Two-level shared-BLAS instancing (models/instanced.py): leaf
+    # descriptors [Lg, 128] (shared tile slot, instance id, 12-float
+    # world->local transform) and per-instance normal matrices [I, 9].
+    # None on baked scenes; hit ids compose as inst * inst_s8 + row.
+    inst_ldesc: jnp.ndarray = None
+    inst_nmat: jnp.ndarray = None
+    has_instances: bool = struct.field(pytree_node=False,
+                                       default=False)
+    inst_s8: int = struct.field(pytree_node=False, default=0)
     leaf_size: int = struct.field(pytree_node=False, default=DEFAULT_LEAF_SIZE)
     bvh_depth: int = struct.field(pytree_node=False, default=1)
     bvh_ni: int = struct.field(pytree_node=False, default=1)

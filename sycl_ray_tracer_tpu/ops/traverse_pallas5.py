@@ -69,7 +69,7 @@ def _traverse_subpacket5(ctiles_ref, ltiles_ref,
                          stack_ref, lq_ref, keybuf_ref, idbuf_ref,
                          *, ni: int, k: int, rb: int, ki: int, ml: int,
                          row0: int, cfmt: str = "f32",
-                         stats_ref=None):
+                         stats_ref=None, ldesc_ref=None):
     rows = [row0 + r for r in range(rb)]
     ox = [ox_ref[r:r + 1, :] for r in rows]
     oy = [oy_ref[r:r + 1, :] for r in rows]
@@ -201,9 +201,22 @@ def _traverse_subpacket5(ctiles_ref, ltiles_ref,
             have_l = ((lt - lh0) > mm)
             lf = lq_ref[(lh0 + mm) % _LQ]
             lfc = jnp.maximum(lf - ni, 0)
-            ltile = ltiles_ref[jnp.minimum(lfc // 8,
-                                           ltiles_ref.shape[0] - 1)]
-            lbase = 16 * (lfc % 8)
+            if ldesc_ref is not None:
+                # instanced drain (models/instanced.py): the global
+                # leaf's descriptor row gives the SHARED leaf tile
+                # slot + the 12-float world->local transform; rays
+                # are transformed into instance space below (d left
+                # unnormalized, so t stays world-valid)
+                lrow = jnp.minimum(lfc, ldesc_ref.shape[0] - 1)
+                slot = ldesc_ref[lrow, 0].astype(jnp.int32)
+                ltile = ltiles_ref[jnp.minimum(
+                    slot // 8, ltiles_ref.shape[0] - 1)]
+                lbase = 16 * (slot % 8)
+                im = [ldesc_ref[lrow, 2 + c] for c in range(12)]
+            else:
+                ltile = ltiles_ref[jnp.minimum(
+                    lfc // 8, ltiles_ref.shape[0] - 1)]
+                lbase = 16 * (lfc % 8)
             v0x = _bcast_gather(ltile, lbase + 0)
             v0y = _bcast_gather(ltile, lbase + 1)
             v0z = _bcast_gather(ltile, lbase + 2)
@@ -254,20 +267,36 @@ def _traverse_subpacket5(ctiles_ref, ltiles_ref,
                         jnp.max(p.astype(jnp.float32), axis=1,
                                 keepdims=True))
             for i in range(rb):
-                px = dy[i] * e2z - dz[i] * e2y
-                py = dz[i] * e2x - dx[i] * e2z
-                pz = dx[i] * e2y - dy[i] * e2x
+                if ldesc_ref is not None:
+                    oxi = im[0] * ox[i] + im[1] * oy[i] \
+                        + im[2] * oz[i] + im[9]
+                    oyi = im[3] * ox[i] + im[4] * oy[i] \
+                        + im[5] * oz[i] + im[10]
+                    ozi = im[6] * ox[i] + im[7] * oy[i] \
+                        + im[8] * oz[i] + im[11]
+                    dxi = im[0] * dx[i] + im[1] * dy[i] \
+                        + im[2] * dz[i]
+                    dyi = im[3] * dx[i] + im[4] * dy[i] \
+                        + im[5] * dz[i]
+                    dzi = im[6] * dx[i] + im[7] * dy[i] \
+                        + im[8] * dz[i]
+                else:
+                    oxi, oyi, ozi = ox[i], oy[i], oz[i]
+                    dxi, dyi, dzi = dx[i], dy[i], dz[i]
+                px = dyi * e2z - dzi * e2y
+                py = dzi * e2x - dxi * e2z
+                pz = dxi * e2y - dyi * e2x
                 det = e1x * px + e1y * py + e1z * pz
                 inv_det = jnp.where(jnp.abs(det) > _DET_EPS,
                                     1.0 / det, 0.0)
-                tx = ox[i] - v0x
-                ty = oy[i] - v0y
-                tz = oz[i] - v0z
+                tx = oxi - v0x
+                ty = oyi - v0y
+                tz = ozi - v0z
                 uu = (tx * px + ty * py + tz * pz) * inv_det
                 qx = ty * e1z - tz * e1y
                 qy = tz * e1x - tx * e1z
                 qz = tx * e1y - ty * e1x
-                vv = (dx[i] * qx + dy[i] * qy + dz[i] * qz) * inv_det
+                vv = (dxi * qx + dyi * qy + dzi * qz) * inv_det
                 tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
                 ok = ((jnp.abs(det) > _DET_EPS)
                       & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
@@ -364,10 +393,15 @@ def _traverse_subpacket5(ctiles_ref, ltiles_ref,
 
 
 def _packet_kernel5(ctiles_ref, ltiles_ref,
-                    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-                    act_ref, t0_ref, t_ref, tri_ref, u_ref, v_ref,
                     *refs, ni: int, k: int, rb: int, ki: int, ml: int,
-                    cfmt: str = "f32", stats: bool = False):
+                    cfmt: str = "f32", stats: bool = False,
+                    itf: bool = False):
+    ldesc_ref = None
+    if itf:
+        ldesc_ref, refs = refs[0], refs[1:]
+    (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+     act_ref, t0_ref, t_ref, tri_ref, u_ref, v_ref) = refs[:12]
+    refs = refs[12:]
     if stats:
         (stats_ref, stack_ref, lq_ref,
          keybuf_ref, idbuf_ref) = refs
@@ -381,7 +415,7 @@ def _packet_kernel5(ctiles_ref, ltiles_ref,
             t_ref, tri_ref, u_ref, v_ref,
             stack_ref, lq_ref, keybuf_ref, idbuf_ref,
             ni=ni, k=k, rb=rb, ki=ki, ml=ml, row0=s * rb,
-            cfmt=cfmt, stats_ref=stats_ref)
+            cfmt=cfmt, stats_ref=stats_ref, ldesc_ref=ldesc_ref)
 
 
 @functools.partial(jax.jit,
@@ -394,11 +428,16 @@ def traverse_packets5(ctiles: jnp.ndarray, ltiles: jnp.ndarray,
                       ki: int | None = None,
                       ml: int | None = None,
                       t_init: jnp.ndarray | None = None,
-                      cfmt: str = "f32", stats: bool = False):
+                      cfmt: str = "f32", stats: bool = False,
+                      ldesc: jnp.ndarray | None = None):
     """Drop-in alternative to traverse_packets2 (same tables/API).
 
     t_init: optional [R] incumbent hit distances (treelet chaining,
     ops/treelets.py) — only strictly closer hits are reported.
+
+    ldesc: instanced-scene leaf descriptors [Lg, 128]
+    (models/instanced.py) — leaf drains read the shared tile slot and
+    transform rays into instance space (itf mode).
 
     stats=True (measurement only, tools/probe_leaf_waste.py) returns
     (Hit, stats [G, 8, 128]) where per packet-grid block lane 0 of
@@ -449,13 +488,17 @@ def traverse_packets5(ctiles: jnp.ndarray, ltiles: jnp.ndarray,
         out_specs.append(pl.BlockSpec((8, 128), lambda g: (g, 0),
                                       memory_space=pltpu.VMEM))
 
+    if stats and ldesc is not None:
+        raise ValueError("stats mode is baked-scene only")
     kernel = functools.partial(_packet_kernel5, ni=ni, k=leaf_size,
                                rb=rb, ki=ki, ml=ml, cfmt=cfmt,
-                               stats=stats)
+                               stats=stats, itf=ldesc is not None)
+    extra = () if ldesc is None else (ldesc,)
     outs = pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
+        * (2 + len(extra))
         + [ray_spec] * 8,
         out_specs=out_specs,
         out_shape=out_shape,
@@ -465,7 +508,7 @@ def traverse_packets5(ctiles: jnp.ndarray, ltiles: jnp.ndarray,
                         pltpu.VMEM((8, 128), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(ctiles, ltiles, *args)
+    )(ctiles, ltiles, *extra, *args)
     t, tri, u, v = outs[:4]
 
     flat = lambda a: a.reshape(rp)[:r]
