@@ -76,6 +76,8 @@ def _packet_kernel_version(scene) -> int:
     # v2/v5 tile tables exist only for leaf_size=8 scenes (scene.py)
     if scene.has_tiles:
         table_bytes = (scene.bvh_ctiles.size + scene.bvh_ltiles.size) * 4
+        if scene.has_instances:
+            table_bytes += scene.inst_ldesc.size * 4
         if table_bytes <= VMEM_TABLE_LIMIT_BYTES:
             return 2 if forced == "v2" else 5
     if forced in ("v2", "v5", "v6") and forced not in _warned_forced:
@@ -272,13 +274,33 @@ def intersect_scene(scene, o: V3, d: V3,
             not FORCE_XLA):
         return _intersect_treelets(scene, o, d, active, primary,
                                    rows=rows)
+    if scene.has_instances and (jax.default_backend() != "tpu"
+                                or FORCE_XLA):
+        raise NotImplementedError(
+            "two-level instanced scenes render through the Pallas "
+            "itf kernel (TPU). On CPU, bake the scene instead "
+            "(utils.instanced.InstancedHostScene.bake -> "
+            "build_device_scene), like the oracle/test paths do.")
     version = _packet_kernel_version(scene)
     if version == 2 and scene.cfmt != "f32":
         version = 5  # v2 reads f32 tiles only
     if version in (2, 5):
         ni = scene.sah_ni if scene.has_sah else scene.bvh_ni
         if version == 5:
-            if scene.has_wtiles and FORCED_KERNEL in (None, "v8"):
+            if scene.has_instances:
+                # two-level instanced scene: the v5 itf drain
+                # transforms rays into instance space per leaf
+                # (models/instanced.py); v6/v8 read baked leaf tiles
+                # and cannot serve these scenes
+                from sycl_ray_tracer_tpu.ops.traverse_pallas5 import (
+                    traverse_packets5)
+                rb, ki, ml = V5_PRIMARY if primary else V5_BOUNCE
+                hit = traverse_packets5(
+                    scene.bvh_ctiles, scene.bvh_ltiles, ni,
+                    scene.leaf_size, o, d, active=active,
+                    rows=rows or rb, ki=ki, ml=ml, cfmt=scene.cfmt,
+                    ldesc=scene.inst_ldesc)
+            elif scene.has_wtiles and FORCED_KERNEL in (None, "v8"):
                 # v8 batched-MXU Woop drains for BOTH workloads
                 # (round-5 sponza A/B, f32x6 dot: primary rb32 15.73
                 # vs v6 10.4-10.5; sorted bounce rb16-b16 6.37 vs
@@ -376,6 +398,15 @@ def shade_lanes(scene, hit: Hit):
     transient at ~1 GB. Chunk count is static (R is the compiled
     bucket size)."""
     safe_tri = jnp.maximum(hit.tri, 0)
+    inst = None
+    if scene.has_instances:
+        # composed instanced hit ids (models/instanced.py):
+        # id = inst * S8 + shared_row. The shared tables hold
+        # LOCAL-space normals; the instance's inverse-transpose
+        # rotates them to world after interpolation (the baked loader
+        # applies the same matrix at ingest, utils/gltf.py).
+        inst = safe_tri // jnp.int32(scene.inst_s8)
+        safe_tri = safe_tri % jnp.int32(scene.inst_s8)
     R = safe_tri.shape[0]
     CH = 1 << 21
 
@@ -391,11 +422,15 @@ def shade_lanes(scene, hit: Hit):
         c = [jnp.concatenate([ch[i] for ch in chunks])
              for i in range(16)]
     w = 1.0 - hit.u - hit.v
-    normal = normalize(V3(
-        w * c[0] + hit.u * c[3] + hit.v * c[6],
-        w * c[1] + hit.u * c[4] + hit.v * c[7],
-        w * c[2] + hit.u * c[5] + hit.v * c[8],
-    ), eps=1e-20)
+    nx = w * c[0] + hit.u * c[3] + hit.v * c[6]
+    ny = w * c[1] + hit.u * c[4] + hit.v * c[7]
+    nz = w * c[2] + hit.u * c[5] + hit.v * c[8]
+    if inst is not None:
+        nm = [jnp.take(scene.inst_nmat[:, i], inst) for i in range(9)]
+        nx, ny, nz = (nm[0] * nx + nm[1] * ny + nm[2] * nz,
+                      nm[3] * nx + nm[4] * ny + nm[5] * nz,
+                      nm[6] * nx + nm[7] * ny + nm[8] * nz)
+    normal = normalize(V3(nx, ny, nz), eps=1e-20)
     uv_u = w * c[9] + hit.u * c[11] + hit.v * c[13]
     uv_v = w * c[10] + hit.u * c[12] + hit.v * c[14]
     mid = c[15].astype(jnp.int32)

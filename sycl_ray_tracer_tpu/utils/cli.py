@@ -67,6 +67,10 @@ def resolve_scene_bytes(scene_path: str):
         "dielectric": fixtures.dielectric_scene_glb,
         "sponza_proc": procgen.sponza_like_glb,
         "minecraft_proc": procgen.minecraft_like_glb,
+        # instance-heavy fixture (SRT_INSTANCED_R cubes; pair with
+        # SRT_SHARED_INSTANCES=1 for the two-level BLAS path)
+        "instanced_proc": lambda: fixtures.instanced_scene_glb(
+            int(os.environ.get("SRT_INSTANCED_R", "1000"))),
     }
     if scene_path in named:
         return named[scene_path]()
@@ -112,10 +116,27 @@ def main(argv=None) -> int:
     from sycl_ray_tracer_tpu.utils.gltf import load_glb
     from sycl_ray_tracer_tpu.utils.image_io import write_png
 
-    host = load_glb(resolve_scene_bytes(args.scene_path),
-                    global_scale=tuple(args.scale))
-    print(f"Triangles: {host.num_triangles}")
-    scene = build_device_scene(host)
+    scene_bytes = resolve_scene_bytes(args.scene_path)
+    if os.environ.get("SRT_SHARED_INSTANCES") == "1":
+        # two-level shared-BLAS instancing (models/instanced.py): one
+        # local BVH per unique primitive + per-instance transforms,
+        # the reference's Embree BLAS/TLAS memory model
+        # (scene.cpp:435-439). Opt-in; requires the TPU backend.
+        from sycl_ray_tracer_tpu.models.instanced import (
+            build_instanced_device_scene)
+        from sycl_ray_tracer_tpu.utils.instanced import (
+            load_glb_instanced)
+        ih = load_glb_instanced(scene_bytes,
+                                global_scale=tuple(args.scale))
+        host = ih  # the camera/sky fields the code below reads
+        print(f"Triangles: {ih.num_world_triangles} "
+              f"({ih.num_unique_triangles} unique x "
+              f"{ih.num_instances} instances)")
+        scene = build_instanced_device_scene(ih)
+    else:
+        host = load_glb(scene_bytes, global_scale=tuple(args.scale))
+        print(f"Triangles: {host.num_triangles}")
+        scene = build_device_scene(host)
     cam = make_camera(args.width, args.height, host.camera_position,
                       host.camera_direction, host.camera_focal_length)
 
