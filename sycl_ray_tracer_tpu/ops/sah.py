@@ -95,6 +95,14 @@ def _bind(lib):
         lib._srt_bvh_width = True
     except AttributeError:
         lib._srt_bvh_width = False  # pre-width library: 8-wide only
+    try:
+        lib.srt_bvh_build4.restype = ctypes.c_void_p
+        lib.srt_bvh_build4.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_float]
+        lib._srt_bvh_dilate = True
+    except AttributeError:
+        lib._srt_bvh_dilate = False  # pre-dilate library
     lib._srt_bvh_bound = True
     return True
 
@@ -106,7 +114,8 @@ def available() -> bool:
 
 def build_sah(tri_v: np.ndarray, leaf_size: int = 8,
               spatial: Optional[bool] = None,
-              width: int = 8) -> Optional[SahBvh]:
+              width: int = 8,
+              dilate: float = 0.0) -> Optional[SahBvh]:
     """Build the SAH BVH on host. Returns None when the native
     library is unavailable (callers fall back to the Morton heap).
     `spatial` enables SBVH spatial splits (default: the SRT_SBVH env
@@ -130,6 +139,14 @@ def build_sah(tri_v: np.ndarray, leaf_size: int = 8,
         h = lib.srt_bvh_build3(
             tri_v.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n,
             leaf_size, width)
+    elif dilate > 0.0:
+        if spatial:
+            raise ValueError("dilate is object-splits only")
+        if not getattr(lib, "_srt_bvh_dilate", False):
+            return None  # stale library: no dilate entry point
+        h = lib.srt_bvh_build4(
+            tri_v.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n,
+            leaf_size, dilate)
     elif spatial and getattr(lib, "_srt_bvh_spatial", False):
         h = lib.srt_bvh_build2(
             tri_v.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n,
