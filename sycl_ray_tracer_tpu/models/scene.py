@@ -288,7 +288,9 @@ def build_device_scene(host: HostScene,
             sahb = None
     if want_treelets:
         inv_morton = _inverse_order(order, host.num_triangles)
-        tl = _tl.build_treelets(host.tri_v, inv_morton, leaf_size)
+        tl_bf16 = (os.environ.get("SRT_BF16_NODES", "0") == "1")
+        tl = _tl.build_treelets(host.tri_v, inv_morton, leaf_size,
+                                bf16_nodes=tl_bf16)
         has_tiles = False  # skip the (unused) single-tree SAH tiles
 
     if (has_tiles and host.num_triangles and sahb is None

@@ -241,7 +241,8 @@ def _intersect_treelets(scene, o: V3, d: V3, active, primary: bool,
         hit = traverse_packets5(scene.tl_ctiles[i], scene.tl_ltiles[i],
                                 scene.tl_ni, scene.leaf_size, o, d,
                                 active=act_i, rows=rows or rb,
-                                ki=ki, ml=ml, t_init=t_cur)
+                                ki=ki, ml=ml, t_init=t_cur,
+                                cfmt=scene.cfmt)
         better = hit.tri >= 0
         tri_i = jnp.take(scene.tl_remap[i], jnp.maximum(hit.tri, 0))
         t_cur = jnp.where(better, hit.t, t_cur)
