@@ -128,9 +128,13 @@ class DeviceScene:
     # None on baked scenes; hit ids compose as inst * inst_s8 + row.
     inst_ldesc: jnp.ndarray = None
     inst_nmat: jnp.ndarray = None
+    # per-treelet woop tiles for v8 drains (SRT_TL_V8=1; dummy else)
+    tl_wtiles: jnp.ndarray = None
     has_instances: bool = struct.field(pytree_node=False,
                                        default=False)
     inst_s8: int = struct.field(pytree_node=False, default=0)
+    # True iff tl_wtiles holds real woop tables (SRT_TL_V8 treelets)
+    tl_has_w: bool = struct.field(pytree_node=False, default=False)
     leaf_size: int = struct.field(pytree_node=False, default=DEFAULT_LEAF_SIZE)
     bvh_depth: int = struct.field(pytree_node=False, default=1)
     bvh_ni: int = struct.field(pytree_node=False, default=1)
@@ -399,13 +403,16 @@ def build_device_scene(host: HostScene,
     if tl is not None:
         tl_ctiles = jnp.asarray(tl.ctiles)
         tl_ltiles = jnp.asarray(tl.ltiles)
+        tl_wtiles = jnp.asarray(tl.wtiles)
+        tl_has_w = tl.wtiles.shape[1] > 1
         tl_remap = jnp.asarray(tl.remap)
         tl_lo = jnp.asarray(tl.lo)
         tl_hi = jnp.asarray(tl.hi)
         tl_count, tl_ni = tl.count, tl.ni
     else:
         z = jnp.zeros((1, 1, 8, 128), jnp.float32)
-        tl_ctiles = tl_ltiles = z
+        tl_ctiles = tl_ltiles = tl_wtiles = z
+        tl_has_w = False
         tl_remap = jnp.zeros((1, 1), jnp.int32)
         tl_lo = tl_hi = jnp.zeros((1, 3), jnp.float32)
         tl_count, tl_ni = 0, 1
@@ -435,7 +442,8 @@ def build_device_scene(host: HostScene,
         has_wtiles=has_wtiles,
         lbvh_lo=lbvh_lo, lbvh_hi=lbvh_hi,
         lbvh_v0=lbvh_v0, lbvh_e1=lbvh_e1, lbvh_e2=lbvh_e2,
-        tl_ctiles=tl_ctiles, tl_ltiles=tl_ltiles, tl_remap=tl_remap,
+        tl_ctiles=tl_ctiles, tl_ltiles=tl_ltiles,
+        tl_wtiles=tl_wtiles, tl_has_w=tl_has_w, tl_remap=tl_remap,
         tl_lo=tl_lo, tl_hi=tl_hi, tl_count=tl_count, tl_ni=tl_ni,
         intersector=intersector, cfmt=cfmt,
         has_tiles=has_tiles,

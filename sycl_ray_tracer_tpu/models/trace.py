@@ -238,11 +238,24 @@ def _intersect_treelets(scene, o: V3, d: V3, active, primary: bool,
             tmax = jnp.minimum(tmax, jnp.maximum(t1, t2))
             act_i = (act0 & (tmax >= jnp.maximum(tmin, 0.0))
                      & (tmin < t_cur))
-        hit = traverse_packets5(scene.tl_ctiles[i], scene.tl_ltiles[i],
-                                scene.tl_ni, scene.leaf_size, o, d,
-                                active=act_i, rows=rows or rb,
-                                ki=ki, ml=ml, t_init=t_cur,
-                                cfmt=scene.cfmt)
+        if scene.tl_has_w:
+            # v8 batched-MXU drains per treelet pass (SRT_TL_V8=1:
+            # smaller treelets — the woop table is 4x the MT leaf
+            # bytes — but ~20-40% faster drains; A/B in PLAN_TPU)
+            from sycl_ray_tracer_tpu.ops.traverse_pallas8 import (
+                traverse_packets8)
+            rb8, ki8, kb8 = V8_PRIMARY if primary else V8_BOUNCE
+            hit = traverse_packets8(
+                scene.tl_ctiles[i], scene.tl_wtiles[i],
+                scene.tl_ni, scene.leaf_size, o, d,
+                active=act_i, rows=rows or rb8, ki=ki8, kb=kb8,
+                t_init=t_cur, cfmt=scene.cfmt)
+        else:
+            hit = traverse_packets5(
+                scene.tl_ctiles[i], scene.tl_ltiles[i],
+                scene.tl_ni, scene.leaf_size, o, d,
+                active=act_i, rows=rows or rb,
+                ki=ki, ml=ml, t_init=t_cur, cfmt=scene.cfmt)
         better = hit.tri >= 0
         tri_i = jnp.take(scene.tl_remap[i], jnp.maximum(hit.tri, 0))
         t_cur = jnp.where(better, hit.t, t_cur)

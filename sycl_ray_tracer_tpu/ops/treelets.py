@@ -43,13 +43,20 @@ from sycl_ray_tracer_tpu.ops import wbvh as _wbvh
 
 def _max_tris() -> int:
     # read at call time, not import (env knobs must stay live — the
-    # round-1 SRT_NO_SORT import-time read was flagged for this)
+    # round-1 SRT_NO_SORT import-time read was flagged for this).
+    # With v8 treelet drains (SRT_TL_V8=1) the default shrinks so each
+    # treelet's ctiles + WOOP tiles (256 B/tri) stay under the v8
+    # VMEM budget: ~330K tris -> ~85+3 MB per pass.
+    if os.environ.get("SRT_TL_V8") == "1":
+        return int(os.environ.get("SRT_TREELET_MAX_TRIS", 330_000))
     return int(os.environ.get("SRT_TREELET_MAX_TRIS", 600_000))
 
 
 class Treelets(NamedTuple):
     ctiles: np.ndarray   # [T, NT, 8, 128] float32
     ltiles: np.ndarray   # [T, LT, 8, 128] float32
+    wtiles: np.ndarray   # [T, WT, 8, 128] float32 woop tiles
+    #                      (SRT_TL_V8; [T, 1, 8, 128] dummy otherwise)
     remap: np.ndarray    # [T, S] int32: local hit slot -> canonical
     #                      morton slot (-1 pad)
     lo: np.ndarray       # [T, 3] treelet root bounds
@@ -126,6 +133,10 @@ def build_treelets(tri_v: np.ndarray, inv_morton: np.ndarray,
         adj = np.where(child_ids >= ni, child_ids - ni + ni_shared,
                        child_ids).astype(np.int32)
         ct, lt = _wbvh.pack_tiles_np(children, adj, leaves, leaf_size)
+        wt = None
+        if os.environ.get("SRT_TL_V8") == "1":
+            from sycl_ray_tracer_tpu.ops import woop as _woop
+            wt = _woop.pack_wtiles_affine_np(leaves, leaf_size)
         if bf16_nodes:
             # round-5 VERDICT #3: bf16-packed node tiles for treelet
             # scenes (conservative directed rounding — identical
@@ -139,12 +150,14 @@ def build_treelets(tri_v: np.ndarray, inv_morton: np.ndarray,
                       -1).astype(np.int32)
         lo = tri_v[ids].reshape(-1, 3).min(axis=0)
         hi = tri_v[ids].reshape(-1, 3).max(axis=0)
-        packed.append((ct, lt, rm, lo, hi))
+        packed.append((ct, lt, wt, rm, lo, hi))
 
     t = len(packed)
     nt = max(p[0].shape[0] for p in packed)
     ltn = max(p[1].shape[0] for p in packed)
-    s = max(p[2].shape[0] for p in packed)
+    use_w = packed[0][2] is not None
+    wtn = max(p[2].shape[0] for p in packed) if use_w else 1
+    s = max(p[3].shape[0] for p in packed)
     # every treelet's tables pad to the max shape (one compiled kernel
     # serves all passes); surface lopsided partitions instead of
     # silently blowing the per-treelet VMEM budget on padding
@@ -159,14 +172,17 @@ def build_treelets(tri_v: np.ndarray, inv_morton: np.ndarray,
               file=sys.stderr)
     ctiles = np.zeros((t, nt, 8, 128), np.float32)
     ltiles = np.zeros((t, ltn, 8, 128), np.float32)
+    wtiles = np.zeros((t, wtn, 8, 128), np.float32)
     remap = np.full((t, s), -1, np.int32)
     lo = np.zeros((t, 3), np.float32)
     hi = np.zeros((t, 3), np.float32)
-    for i, (ct, lt, rm, l, h) in enumerate(packed):
+    for i, (ct, lt, wt, rm, l, h) in enumerate(packed):
         ctiles[i, :ct.shape[0]] = ct
         ltiles[i, :lt.shape[0]] = lt
+        if wt is not None:
+            wtiles[i, :wt.shape[0]] = wt
         remap[i, :rm.shape[0]] = rm
         lo[i] = l
         hi[i] = h
-    return Treelets(ctiles=ctiles, ltiles=ltiles, remap=remap,
-                    lo=lo, hi=hi, ni=ni_shared, count=t)
+    return Treelets(ctiles=ctiles, ltiles=ltiles, wtiles=wtiles,
+                    remap=remap, lo=lo, hi=hi, ni=ni_shared, count=t)
