@@ -44,9 +44,12 @@ def main():
     from sycl_ray_tracer_tpu.utils.procgen import minecraft_like_glb
 
     configs = []
-    for a in (sys.argv[1:] or ["600000,0", "1050000,0", "1050000,1"]):
-        mt, bf = a.split(",")
-        configs.append((int(mt), int(bf)))
+    for a in (sys.argv[1:] or ["600000,0,0", "1050000,0,0",
+                               "1050000,1,0", "330000,0,1"]):
+        parts = a.split(",")
+        mt, bf = int(parts[0]), int(parts[1])
+        v8 = int(parts[2]) if len(parts) > 2 else 0
+        configs.append((mt, bf, v8))
 
     host = load_glb(minecraft_like_glb())
     print(f"# minecraft_proc {host.num_triangles} tris, {RES}x{RES} "
@@ -55,9 +58,10 @@ def main():
                       host.camera_direction, host.camera_focal_length)
 
     seed = 900
-    for mt, bf in configs:
+    for mt, bf, v8 in configs:
         os.environ["SRT_TREELET_MAX_TRIS"] = str(mt)
         os.environ["SRT_BF16_NODES"] = str(bf)
+        os.environ["SRT_TL_V8"] = str(v8)
         t0 = time.time()
         try:
             scene = build_device_scene(host)
@@ -65,10 +69,13 @@ def main():
             print(f"maxtris={mt} bf16={bf} BUILD FAILED: "
                   f"{str(e)[:200]}", flush=True)
             continue
-        per_tl = ((scene.tl_ctiles.size + scene.tl_ltiles.size) * 4
+        per_tl = ((scene.tl_ctiles.size
+                   + (scene.tl_wtiles.size if v8
+                      else scene.tl_ltiles.size)) * 4
                   / max(scene.tl_count, 1) / 1e6)
-        tag = (f"maxtris={mt} bf16={bf} -> {scene.tl_count} treelets "
-               f"({per_tl:.0f} MB tables each, cfmt {scene.cfmt})")
+        tag = (f"maxtris={mt} bf16={bf} v8={v8} -> {scene.tl_count} "
+               f"treelets ({per_tl:.0f} MB staged each, "
+               f"cfmt {scene.cfmt})")
         print(f"{tag}: built in {time.time()-t0:.0f}s", flush=True)
         rates = []
         try:
