@@ -590,10 +590,19 @@ def render_wavefront(scene, cam: Camera, *, width: int, height: int,
     # 32M+48M bucket ladders fragment HBM before the ~67M-cap ladder
     # allocates; a fresh process runs 67M fine at 1024^2).
     # SRT_WAVE_RAYS overrides.
+    # Round-5 update (tools/probe_pool_r5.py, 1080p s128 with v8):
+    # 64M single-thread waves beat 48M 2-thread waves 6.23 vs 5.96
+    # Mrays/s — the pool-coherence gradient stayed positive through
+    # the old 48M fallback, and a gc between bucket ladders lets 64M
+    # allocate in-process. Two concurrent 64M waves DO exhaust HBM,
+    # so big fallback waves force the serial loop unless the user
+    # pinned SRT_WAVE_THREADS.
     wave_rays = int(os.environ.get(
         "SRT_WAVE_RAYS",
-        str(spp * n if spp * n <= (68 << 20) else 48 << 20)))
+        str(spp * n if spp * n <= (68 << 20) else 64 << 20)))
     waves = max(1, min(spp, wave_rays // n))
+    big_wave_serial = (wave_rays >= (56 << 20)
+                       and "SRT_WAVE_THREADS" not in os.environ)
     # Half-precision queue payload (dir/att/radiance), the reference's
     # fp16 RayData quirk (camera.hpp:12-63). Off by default: measured
     # RMSE-neutral but also perf-neutral on v5e (see PLAN_TPU.md).
@@ -647,8 +656,10 @@ def render_wavefront(scene, cam: Camera, *, width: int, height: int,
         s += w
 
     # See interleave_waves: profile mode runs serial so per-bounce
-    # wall clocks aren't polluted by the concurrent wave.
-    results = interleave_waves(run_wave, specs, serial=profile)
+    # wall clocks aren't polluted by the concurrent wave; so do
+    # >=56M-ray fallback waves (two in flight OOM a v5e).
+    results = interleave_waves(run_wave, specs,
+                               serial=profile or big_wave_serial)
 
     combined = None
     rays = np.zeros((max_depth,), np.int64)
