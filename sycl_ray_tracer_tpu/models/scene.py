@@ -311,6 +311,13 @@ def build_device_scene(host: HostScene,
                       and os.environ.get("SRT_KERNEL") not in (
                           "v1", "v2"))
     cfmt = "f32"
+    if tl is not None and os.environ.get("SRT_BF16_NODES",
+                                         "0") == "1":
+        # treelet node tiles were bf16-packed above; the chained
+        # passes must read them with the bf16p unpacker (the scene's
+        # single cfmt field is safe to repurpose: has_tiles is False
+        # on treelet scenes, so no single-tree kernel reads it)
+        cfmt = "bf16p"
     wtiles = None
     # Woop tile budget for the v8 batched-MXU drain: the kernel
     # compiled and ran at sponza scale with 86.8 MB of wtiles +
