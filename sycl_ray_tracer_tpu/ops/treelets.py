@@ -49,7 +49,11 @@ def _max_tris() -> int:
     # VMEM budget: ~330K tris -> ~85+3 MB per pass.
     if os.environ.get("SRT_TL_V8") == "1":
         return int(os.environ.get("SRT_TREELET_MAX_TRIS", 330_000))
-    return int(os.environ.get("SRT_TREELET_MAX_TRIS", 600_000))
+    # Round-5: the 600K cap was conservative — minecraft at 2 treelets
+    # (1.05M tris, ~102 MB staged tables/pass) compiles and runs 4.76
+    # vs 4.19 Mrays/s at 4 treelets (tools/probe_tl_config.py). The
+    # VMEM driver is the LEAF tiles (~64 B/tri), not nodes.
+    return int(os.environ.get("SRT_TREELET_MAX_TRIS", 1_050_000))
 
 
 class Treelets(NamedTuple):
