@@ -3,19 +3,17 @@
 
 Every cycle attribution in PLAN_TPU.md converts wall seconds at a
 940 MHz convention (the public v5e clock). This probe cross-checks
-the TIMER + the convention against two spec-anchored kernels:
+the TIMER + the convention against two spec-anchored kernels, using
+the SLOPE method (two in-program iteration counts; the ~35-40 ms
+per-program RPC that swamped the naive version cancels):
 
-  hbm   one big HBM->HBM f32 copy — achieved GB/s vs the 819 GB/s
-        v5e spec (read+write counted)
-  mxu   a large bf16 matmul (8192^3) — achieved TFLOP/s vs the
-        197 TFLOP/s v5e bf16 peak
+  hbm   K dependent full-array add passes over 1 GiB in one jitted
+        fori_loop — slope GB/s vs the 819 GB/s v5e spec
+  mxu   K chained 8192^2 bf16 matmuls in one fori_loop — slope
+        TFLOP/s vs the 197 TFLOP/s v5e bf16 peak
 
-If both land at a sane fraction of spec (copies ~70-90%, matmul
-~60-90% for a single big dot), wall-clock-derived "cycles at 940 MHz"
-is a consistent unit; the NO-GO *ratios* were always clock-free.
-
-Methodology: fresh inputs per run (runtime memoization), np.asarray
-fence on a slice, best of 5.
+Methodology: fresh inputs per run, np.asarray fence on a slice,
+best of 3 per K.
 """
 
 import os
@@ -29,7 +27,7 @@ jax.config.update("jax_compilation_cache_dir",
                   os.path.expanduser("~/.cache/jax_comp"))
 
 
-def bench(fn, inputs, fence):
+def timed(fn, inputs, fence):
     fn(inputs[0])
     ts = []
     for x in inputs:
@@ -44,34 +42,52 @@ def main():
     rs = np.random.RandomState(0)
     print(f"# device {jax.devices()[0]}")
 
-    # HBM copy: 1 GB in, 1 GB out
     n = 1 << 28  # 1 GiB of f32
-    xs = [jnp.asarray(rs.rand(n // 4).astype(np.float32))
-          for _ in range(5)]
-    # element-wise add forces a real read+write pass
-    f = jax.jit(lambda a: a + jnp.float32(1.0))
-    dt = bench(f, xs, lambda o: np.asarray(o[:8]))
-    gbs = 2 * xs[0].nbytes / dt / 1e9
-    print(f"hbm: {dt*1e3:.2f} ms for 2x{xs[0].nbytes/2**30:.2f} GiB "
-          f"-> {gbs:.0f} GB/s ({gbs/819*100:.0f}% of the 819 GB/s "
-          f"spec)")
+    xs = [jnp.asarray(rs.rand(n).astype(np.float32))
+          for _ in range(3)]
 
-    # MXU bf16 matmul
+    def make_add(k):
+        @jax.jit
+        def f(a):
+            return jax.lax.fori_loop(
+                0, k, lambda i, y: y + jnp.float32(1.0), a)
+        return f
+
+    LO, HI = 4, 16
+    t_lo = timed(make_add(LO), xs, lambda o: np.asarray(o[:8]))
+    t_hi = timed(make_add(HI), xs, lambda o: np.asarray(o[:8]))
+    per = (t_hi - t_lo) / (HI - LO)
+    gbs = 2 * xs[0].nbytes / per / 1e9
+    print(f"hbm: {per*1e3:.2f} ms per 1 GiB r+w pass -> {gbs:.0f} "
+          f"GB/s ({gbs/819*100:.0f}% of the 819 GB/s spec)   "
+          f"(raw {t_lo*1e3:.1f}/{t_hi*1e3:.1f} ms at K={LO}/{HI})")
+
     m = 8192
     a_s = [jnp.asarray(rs.rand(m, m).astype(np.float32)
-                       ).astype(jnp.bfloat16) for _ in range(5)]
+                       ).astype(jnp.bfloat16) for _ in range(3)]
     b = jnp.asarray(rs.rand(m, m).astype(np.float32)
                     ).astype(jnp.bfloat16)
-    g = jax.jit(lambda a: jax.lax.dot(a, b,
-                                      preferred_element_type=jnp.float32))
-    dt = bench(g, a_s, lambda o: np.asarray(o[:1, :8]))
-    tflops = 2 * m**3 / dt / 1e12
-    print(f"mxu: {dt*1e3:.2f} ms for {m}^3 bf16 matmul -> "
+
+    def make_mm(k):
+        @jax.jit
+        def f(a):
+            return jax.lax.fori_loop(
+                0, k, lambda i, y: jax.lax.dot(
+                    y, b, preferred_element_type=jnp.bfloat16), a)
+        return f
+
+    t_lo = timed(make_mm(LO), a_s, lambda o: np.asarray(o[:1, :8]))
+    t_hi = timed(make_mm(HI), a_s, lambda o: np.asarray(o[:1, :8]))
+    per = (t_hi - t_lo) / (HI - LO)
+    tflops = 2 * m**3 / per / 1e12
+    print(f"mxu: {per*1e3:.2f} ms per 8192^3 bf16 matmul -> "
           f"{tflops:.0f} TFLOP/s ({tflops/197*100:.0f}% of the "
-          f"197 TFLOP/s spec)")
-    print("# both within a sane fraction of spec => wall-clock (and "
-          "the 940 MHz cycle unit derived from it) is consistent "
-          "with the hardware's real clock")
+          f"197 TFLOP/s spec)   (raw {t_lo*1e3:.1f}/{t_hi*1e3:.1f} "
+          f"ms)")
+    print("# the naive (single-op) version of this probe measured 17 "
+          "GB/s / 35 TFLOP/s — i.e. the ~30-40 ms per-program RPC "
+          "wall, NOT device rates; the slope method is mandatory "
+          "for micro-calibration on this backend (CLAUDE.md)")
 
 
 if __name__ == "__main__":
